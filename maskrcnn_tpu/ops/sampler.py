@@ -1,0 +1,77 @@
+"""Balanced positive/negative example sampling with static shapes.
+
+The reference samples a per-image quota of foreground/background examples
+via torch.randperm and returns variable-length index lists (reference:
+maskrcnn_benchmark/modeling/balanced_positive_negative_sampler.py:5-68).
+On TPU that becomes *random-priority top-k with masking*: every candidate
+gets a random priority; positives compete for the positive quota, negatives
+fill the remainder; outputs are fixed-shape boolean masks (counts vary,
+shapes don't), plus an optional fixed-K gather of sampled indices.
+"""
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+
+
+def sample_masks(labels, key, batch_size_per_image, positive_fraction):
+    """Sample pos/neg masks.
+
+    Args:
+      labels: [N] int — 1/positive-class for fg, 0 for bg, -1 ignored.
+      key: PRNG key.
+      batch_size_per_image: total quota (static).
+      positive_fraction: fg share of the quota.
+
+    Returns:
+      pos_mask, neg_mask: [N] bool, |pos| <= quota*frac,
+      |neg| <= quota - |pos|.
+    """
+    n = labels.shape[0]
+    kp, kn = jax.random.split(key)
+    pos = labels >= 1
+    neg = labels == 0
+
+    num_pos_quota = int(batch_size_per_image * positive_fraction)
+
+    rand_p = jax.random.uniform(kp, (n,))
+    pos_priority = jnp.where(pos, rand_p, NEG_INF)
+    # rank within positives: rank[i] = position of i in descending priority
+    pos_rank = jnp.zeros((n,), jnp.int32).at[
+        jnp.argsort(-pos_priority)
+    ].set(jnp.arange(n, dtype=jnp.int32))
+    pos_mask = pos & (pos_rank < num_pos_quota)
+
+    num_pos = jnp.sum(pos_mask)
+    num_neg_quota = batch_size_per_image - num_pos  # traced, shapes static
+
+    rand_n = jax.random.uniform(kn, (n,))
+    neg_priority = jnp.where(neg, rand_n, NEG_INF)
+    neg_rank = jnp.zeros((n,), jnp.int32).at[
+        jnp.argsort(-neg_priority)
+    ].set(jnp.arange(n, dtype=jnp.int32))
+    neg_mask = neg & (neg_rank < num_neg_quota)
+    return pos_mask, neg_mask
+
+
+def sample_topk_indices(labels, key, batch_size_per_image, positive_fraction):
+    """Like sample_masks but also gathers exactly K = batch_size_per_image
+    indices (padded with arbitrary indices where invalid).
+
+    Returns (indices [K] int32, valid [K] bool, is_pos [K] bool). Positives
+    come first. Used by the ROI box head, which needs a fixed-size ROI batch.
+    """
+    pos_mask, neg_mask = sample_masks(
+        labels, key, batch_size_per_image, positive_fraction
+    )
+    n = labels.shape[0]
+    rand = jax.random.uniform(key, (n,))
+    # priority: sampled positives (2, 3), sampled negatives (1, 2), rest -inf
+    priority = jnp.where(
+        pos_mask, 2.0 + rand, jnp.where(neg_mask, 1.0 + rand, NEG_INF)
+    )
+    top_p, idx = jax.lax.top_k(priority, batch_size_per_image)
+    valid = top_p > 0
+    is_pos = top_p > 2.0
+    return idx.astype(jnp.int32), valid, is_pos
