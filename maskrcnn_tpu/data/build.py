@@ -1,0 +1,186 @@
+"""Data loader construction.
+
+Reference: maskrcnn_benchmark/data/build.py:18-182. Same pipeline shape —
+dataset(s) -> (Distributed)Sampler -> GroupedBatchSampler (aspect ratio)
+-> IterationBasedBatchSampler -> loader with collator — with a
+threaded prefetching loader in place of torch DataLoader workers (the
+native C++ loader in csrc/ can be slotted in here later).
+
+Batch-size semantics match the reference: SOLVER.IMS_PER_BATCH is global;
+each host loads global/num_processes images per step (all per-host shards
+form the per-step global batch sharded over the mesh).
+"""
+
+import queue
+import threading
+
+from ..config.paths_catalog import DatasetCatalog
+from ..utils.imports import import_file
+from .collate import BatchCollator, BBoxAugCollator
+from .datasets import COCODataset, ConcatDataset, PascalVOCDataset
+from .samplers import (
+    BatchSampler,
+    DistributedSampler,
+    GroupedBatchSampler,
+    IterationBasedBatchSampler,
+    RandomSampler,
+    SequentialSampler,
+)
+from .transforms import build_transforms
+
+_FACTORIES = {
+    "COCODataset": COCODataset,
+    "PascalVOCDataset": PascalVOCDataset,
+}
+
+
+def build_dataset(dataset_list, transforms, dataset_catalog, is_train=True):
+    if not isinstance(dataset_list, (list, tuple)):
+        raise RuntimeError(
+            "dataset_list should be a list of strings, got {}".format(dataset_list)
+        )
+    datasets = []
+    for dataset_name in dataset_list:
+        data = dataset_catalog.get(dataset_name)
+        factory = _FACTORIES[data["factory"]]
+        args = dict(data["args"])
+        if data["factory"] == "COCODataset":
+            args["remove_images_without_annotations"] = is_train
+        if data["factory"] == "PascalVOCDataset":
+            args["use_difficult"] = not is_train
+        args["transforms"] = transforms
+        datasets.append(factory(**args))
+
+    if not is_train:
+        return datasets
+    if len(datasets) > 1:
+        return [ConcatDataset(datasets)]
+    return datasets
+
+
+def _compute_aspect_ratio_groups(dataset):
+    groups = []
+    for i in range(len(dataset)):
+        info = dataset.get_img_info(i)
+        groups.append(0 if info["width"] >= info["height"] else 1)
+    return groups
+
+
+def make_batch_sampler(
+    dataset, sampler, aspect_grouping, images_per_batch, num_iters=None, start_iter=0
+):
+    if aspect_grouping:
+        group_ids = _compute_aspect_ratio_groups(dataset)
+        batch_sampler = GroupedBatchSampler(
+            sampler, group_ids, images_per_batch, drop_uneven=False
+        )
+        # GroupedBatchSampler lacks .sampler attr passthrough for set_epoch
+        batch_sampler.sampler = sampler
+    else:
+        batch_sampler = BatchSampler(sampler, images_per_batch, drop_last=False)
+    if num_iters is not None:
+        batch_sampler = IterationBasedBatchSampler(batch_sampler, num_iters, start_iter)
+    return batch_sampler
+
+
+class DataLoader:
+    """Minimal threaded data loader (index fetch + collate off the main
+    thread, bounded prefetch queue)."""
+
+    def __init__(self, dataset, batch_sampler, collator, num_workers=2, prefetch=4):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.collator = collator
+        self.num_workers = max(0, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def _produce(self, q, batches):
+        try:
+            for batch_idx in batches:
+                items = [self.dataset[i] for i in batch_idx]
+                q.put(self.collator(items))
+        finally:
+            q.put(None)
+
+    def __iter__(self):
+        if self.num_workers == 0:
+            for batch_idx in self.batch_sampler:
+                items = [self.dataset[i] for i in batch_idx]
+                yield self.collator(items)
+            return
+        q = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(
+            target=self._produce, args=(q, iter(self.batch_sampler)), daemon=True
+        )
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+def make_data_loader(cfg, is_train=True, is_distributed=False, start_iter=0):
+    num_replicas = 1
+    rank = 0
+    if is_distributed:
+        import jax
+
+        num_replicas = jax.process_count()
+        rank = jax.process_index()
+
+    if is_train:
+        images_per_batch = cfg.SOLVER.IMS_PER_BATCH
+        assert images_per_batch % num_replicas == 0
+        images_per_host = images_per_batch // num_replicas
+        shuffle = True
+        num_iters = cfg.SOLVER.MAX_ITER
+    else:
+        images_per_batch = cfg.TEST.IMS_PER_BATCH
+        assert images_per_batch % num_replicas == 0
+        images_per_host = images_per_batch // num_replicas
+        shuffle = False
+        num_iters = None
+        start_iter = 0
+
+    aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
+
+    paths_catalog = cfg.PATHS_CATALOG
+    if paths_catalog.endswith("paths_catalog.py") and "maskrcnn_tpu" in paths_catalog:
+        catalog = DatasetCatalog
+    else:
+        module = import_file("maskrcnn_tpu.config.paths_catalog_override", paths_catalog)
+        catalog = module.DatasetCatalog
+
+    transforms = (
+        None if not is_train and cfg.TEST.BBOX_AUG.ENABLED else build_transforms(cfg, is_train)
+    )
+    dataset_list = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
+    datasets = build_dataset(dataset_list, transforms, catalog, is_train)
+
+    loaders = []
+    for dataset in datasets:
+        if is_distributed:
+            sampler = DistributedSampler(dataset, num_replicas, rank, shuffle=shuffle)
+        elif shuffle:
+            sampler = RandomSampler(dataset)
+        else:
+            sampler = SequentialSampler(dataset)
+        batch_sampler = make_batch_sampler(
+            dataset, sampler, aspect_grouping and is_train, images_per_host,
+            num_iters, start_iter,
+        )
+        if not is_train and cfg.TEST.BBOX_AUG.ENABLED:
+            collator = BBoxAugCollator()
+        else:
+            collator = BatchCollator(cfg, is_train=is_train)
+        loaders.append(
+            DataLoader(dataset, batch_sampler, collator, cfg.DATALOADER.NUM_WORKERS)
+        )
+    if is_train:
+        assert len(loaders) == 1
+        return loaders[0]
+    return loaders

@@ -1,0 +1,160 @@
+"""Paired (image, target) transforms.
+
+Reference: maskrcnn_benchmark/data/transforms/transforms.py:9-117 and
+build.py:5-46. Images flow as PIL until ToArray; targets are BoxLists whose
+fields transform alongside. Output is NHWC float32 numpy (TPU layout), BGR
+0-255 when TO_BGR255 (Caffe2-pretrained convention).
+"""
+
+import random
+
+import numpy as np
+from PIL import Image
+
+from ..structures.boxlist import FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, image, target):
+        for t in self.transforms:
+            image, target = t(image, target)
+        return image, target
+
+
+class Resize:
+    def __init__(self, min_size, max_size):
+        if not isinstance(min_size, (list, tuple)):
+            min_size = (min_size,)
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def get_size(self, image_size):
+        w, h = image_size
+        size = random.choice(self.min_size)
+        max_size = self.max_size
+        if max_size is not None:
+            min_original = float(min((w, h)))
+            max_original = float(max((w, h)))
+            if max_original / min_original * size > max_size:
+                size = int(round(max_size * min_original / max_original))
+        if (w <= h and w == size) or (h <= w and h == size):
+            return h, w
+        if w < h:
+            ow = size
+            oh = int(size * h / w)
+        else:
+            oh = size
+            ow = int(size * w / h)
+        return oh, ow
+
+    def __call__(self, image, target=None):
+        oh, ow = self.get_size(image.size)
+        image = image.resize((ow, oh), Image.BILINEAR)
+        if target is not None:
+            target = target.resize(image.size)
+        return image, target
+
+
+class RandomHorizontalFlip:
+    def __init__(self, prob=0.5):
+        self.prob = prob
+
+    def __call__(self, image, target):
+        if random.random() < self.prob:
+            image = image.transpose(Image.FLIP_LEFT_RIGHT)
+            target = target.transpose(FLIP_LEFT_RIGHT)
+        return image, target
+
+
+class RandomVerticalFlip:
+    def __init__(self, prob=0.5):
+        self.prob = prob
+
+    def __call__(self, image, target):
+        if random.random() < self.prob:
+            image = image.transpose(Image.FLIP_TOP_BOTTOM)
+            target = target.transpose(FLIP_TOP_BOTTOM)
+        return image, target
+
+
+class ColorJitter:
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def __call__(self, image, target):
+        from PIL import ImageEnhance
+
+        if self.brightness > 0:
+            f = 1 + random.uniform(-self.brightness, self.brightness)
+            image = ImageEnhance.Brightness(image).enhance(f)
+        if self.contrast > 0:
+            f = 1 + random.uniform(-self.contrast, self.contrast)
+            image = ImageEnhance.Contrast(image).enhance(f)
+        if self.saturation > 0:
+            f = 1 + random.uniform(-self.saturation, self.saturation)
+            image = ImageEnhance.Color(image).enhance(f)
+        if self.hue > 0:
+            h = random.uniform(-self.hue, self.hue)
+            hsv = np.array(image.convert("HSV"), np.uint8)
+            hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(h * 255)) % 255
+            image = Image.fromarray(hsv, "HSV").convert("RGB")
+        return image, target
+
+
+class ToArray:
+    """PIL -> float32 HWC numpy in [0, 255] RGB."""
+
+    def __call__(self, image, target):
+        return np.asarray(image, np.float32), target
+
+
+class Normalize:
+    def __init__(self, mean, std, to_bgr255=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_bgr255 = to_bgr255
+
+    def __call__(self, image, target):
+        if self.to_bgr255:
+            image = image[:, :, ::-1]  # RGB -> BGR, stays 0-255
+        else:
+            image = image / 255.0
+        image = (image - self.mean) / self.std
+        return np.ascontiguousarray(image, np.float32), target
+
+
+def build_transforms(cfg, is_train=True):
+    if is_train:
+        min_size = cfg.INPUT.MIN_SIZE_TRAIN
+        max_size = cfg.INPUT.MAX_SIZE_TRAIN
+        flip_h = cfg.INPUT.HORIZONTAL_FLIP_PROB_TRAIN
+        flip_v = cfg.INPUT.VERTICAL_FLIP_PROB_TRAIN
+        brightness = cfg.INPUT.BRIGHTNESS
+        contrast = cfg.INPUT.CONTRAST
+        saturation = cfg.INPUT.SATURATION
+        hue = cfg.INPUT.HUE
+    else:
+        min_size = cfg.INPUT.MIN_SIZE_TEST
+        max_size = cfg.INPUT.MAX_SIZE_TEST
+        flip_h = flip_v = 0.0
+        brightness = contrast = saturation = hue = 0.0
+
+    ts = []
+    if is_train and any((brightness, contrast, saturation, hue)):
+        ts.append(ColorJitter(brightness, contrast, saturation, hue))
+    ts.append(Resize(min_size, max_size))
+    if flip_h > 0:
+        ts.append(RandomHorizontalFlip(flip_h))
+    if flip_v > 0:
+        ts.append(RandomVerticalFlip(flip_v))
+    ts.append(ToArray())
+    ts.append(
+        Normalize(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255)
+    )
+    return Compose(ts)

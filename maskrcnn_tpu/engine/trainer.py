@@ -1,0 +1,118 @@
+"""Training loop.
+
+Reference: maskrcnn_benchmark/engine/trainer.py:43-184 — iteration loop with
+MetricLogger (20-iter cadence, eta, lr, memory), periodic checkpointing,
+optional periodic validation. The loss reduction for logging happens on
+device inside the jitted step; `reduce_loss_dict` becomes a host read of the
+already-psum'd metrics.
+"""
+
+import datetime
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from ..utils.metric_logger import MetricLogger
+from .train_step import make_train_step
+
+
+def do_train(
+    model,
+    tx,
+    schedule,
+    params,
+    opt_state,
+    data_loader,
+    checkpointer,
+    checkpoint_period,
+    arguments,
+    mesh=None,
+    rng=None,
+    test_period=0,
+    run_validation=None,
+):
+    logger = logging.getLogger("maskrcnn_tpu.trainer")
+    logger.info("Start training")
+    meters = MetricLogger(delimiter="  ")
+    max_iter = len(data_loader)
+    start_iter = arguments["iteration"]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    train_step = make_train_step(model, tx, mesh)
+
+    start_training_time = time.time()
+    end = time.time()
+    iteration = start_iter
+    for batch in data_loader:
+        data_time = time.time() - end
+        iteration += 1
+        arguments["iteration"] = iteration
+
+        # skip degenerate batches (reference trainer.py:74-76) — with padded
+        # targets an empty image is fine, but a fully empty batch is not.
+        if "gt_labels" in batch and not np.any(batch["gt_labels"] > 0):
+            logger.warning(
+                "Iteration={} || batch has no ground truth, skipped".format(iteration)
+            )
+            end = time.time()
+            continue
+
+        step_rng = jax.random.fold_in(rng, iteration)
+        device_batch = _to_device(batch, mesh)
+        params, opt_state, metrics = train_step(
+            params, opt_state, device_batch, step_rng
+        )
+
+        batch_time = time.time() - end
+        end = time.time()
+        if iteration % 20 == 0 or iteration == max_iter:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            meters.update(time=batch_time, data=data_time, **metrics)
+            eta_seconds = meters.meters["time"].global_avg * (max_iter - iteration)
+            eta_string = str(datetime.timedelta(seconds=int(eta_seconds)))
+            logger.info(
+                meters.delimiter.join(
+                    [
+                        "eta: {eta}",
+                        "iter: {iter}",
+                        "{meters}",
+                        "lr: {lr:.6f}",
+                    ]
+                ).format(
+                    eta=eta_string,
+                    iter=iteration,
+                    meters=str(meters),
+                    lr=float(schedule(iteration)),
+                )
+            )
+        if iteration % checkpoint_period == 0:
+            checkpointer.save(
+                "model_{:07d}".format(iteration), params, opt_state, **arguments
+            )
+        if test_period > 0 and run_validation and iteration % test_period == 0:
+            run_validation(params, iteration)
+        if iteration >= max_iter:
+            break
+
+    checkpointer.save("model_final", params, opt_state, **arguments)
+    total_training_time = time.time() - start_training_time
+    logger.info(
+        "Total training time: {} ({:.4f} s / it)".format(
+            str(datetime.timedelta(seconds=int(total_training_time))),
+            total_training_time / max(max_iter - start_iter, 1),
+        )
+    )
+    return params, opt_state
+
+
+def _to_device(batch, mesh):
+    arrays = {
+        k: v for k, v in batch.items() if isinstance(v, np.ndarray) and k != "indices"
+    }
+    if mesh is not None:
+        return shard_batch(arrays, mesh)
+    return jax.tree.map(jnp.asarray, arrays)

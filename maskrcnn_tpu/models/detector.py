@@ -1,0 +1,393 @@
+"""GeneralizedRCNN meta-architecture and build_detection_model.
+
+Reference: maskrcnn_benchmark/modeling/detector/generalized_rcnn.py:16-65 and
+roi_heads/roi_heads.py:9-76. One meta-architecture covers Faster/Mask/
+Keypoint R-CNN, RPN-only and RetinaNet (cfg switches), as in the reference.
+
+The model object bundles:
+  * init(rng) -> params (nested dict pytree)
+  * train_forward(params, batch, rng) -> loss dict          [jittable]
+  * infer_forward(params, batch) -> padded detections dict  [jittable]
+  * frozen_mask(params) -> bool pytree for the optimizer
+
+Batch layout (everything padded, fixed shapes):
+  images [B, H, W, 3] float32 (normalized, NHWC)
+  image_sizes [B, 2] int32 (true h, w)
+  gt_boxes [B, G, 4], gt_labels [B, G] (0 = padding)
+  gt_masks [B, G, S, S] uint8 (MASK_ON; patch aligned to gt box)
+  gt_keypoints [B, G, K, 3] (KEYPOINT_ON)
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .anchors import make_anchor_generator, make_anchor_generator_retinanet
+from .backbone import build_backbone
+from .poolers import PoolerConfig, multilevel_roi_align
+from .retinanet import (
+    apply_retinanet_head,
+    init_retinanet_head,
+    make_retinanet_cfg,
+    retinanet_inference,
+    retinanet_loss,
+)
+from .roi_heads import box_head as bh
+from .roi_heads import keypoint_head as kh
+from .roi_heads import mask_head as mh
+from .rpn import (
+    apply_rpn_head,
+    init_rpn_head,
+    make_rpn_cfg,
+    rpn_loss,
+    select_proposals,
+)
+
+
+def _flatten_rois(boxes):
+    """[B, K, 4] -> ([B*K, 4], batch_idx [B*K])."""
+    b, k, _ = boxes.shape
+    flat = boxes.reshape(b * k, 4)
+    idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    return flat, idx
+
+
+class GeneralizedRCNN:
+    def __init__(self, cfg):
+        self.cfg = cfg.clone() if hasattr(cfg, "clone") else cfg
+        cfg = self.cfg
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        )
+        self.backbone = build_backbone(cfg)
+        self.retinanet_on = cfg.MODEL.RETINANET_ON
+        self.rpn_only = cfg.MODEL.RPN_ONLY
+        self.mask_on = cfg.MODEL.MASK_ON and not self.retinanet_on
+        self.keypoint_on = cfg.MODEL.KEYPOINT_ON and not self.retinanet_on
+
+        if self.retinanet_on:
+            self.anchor_gen = make_anchor_generator_retinanet(cfg)
+            self.retina_cfg = make_retinanet_cfg(cfg)
+        else:
+            self.anchor_gen = make_anchor_generator(cfg)
+            self.rpn_cfg = make_rpn_cfg(cfg)
+        self.num_anchors = self.anchor_gen.num_anchors_per_location()[0]
+
+        hcfg = cfg.MODEL.ROI_HEADS
+        self.box_reg_weights = tuple(hcfg.BBOX_REG_WEIGHTS)
+        self.box_pooler = PoolerConfig(
+            cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES,
+            cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        )
+        if self.mask_on:
+            self.mask_pooler = PoolerConfig(
+                cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+                cfg.MODEL.ROI_MASK_HEAD.POOLER_SCALES,
+                cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO,
+            )
+            self.share_mask_fe = cfg.MODEL.ROI_MASK_HEAD.SHARE_BOX_FEATURE_EXTRACTOR
+        if self.keypoint_on:
+            self.kp_pooler = PoolerConfig(
+                cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
+                cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SCALES,
+                cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO,
+            )
+        # fixed mask/keypoint ROI batch = the positive quota
+        self.num_pos_rois = int(
+            hcfg.BATCH_SIZE_PER_IMAGE * hcfg.POSITIVE_FRACTION
+        )
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, rng):
+        cfg = self.cfg
+        keys = jax.random.split(rng, 5)
+        params = {"backbone": self.backbone.init(keys[0])}
+        if self.retinanet_on:
+            params["rpn"] = init_retinanet_head(
+                keys[1], cfg, self.backbone.out_channels
+            )
+            return params
+        params["rpn"] = init_rpn_head(
+            keys[1], self.backbone.out_channels, self.num_anchors
+        )
+        if not self.rpn_only:
+            roi = {"box": bh.init_box_head(keys[2], cfg, self.backbone.out_channels)}
+            if self.mask_on:
+                roi["mask"] = mh.init_mask_head(
+                    keys[3], cfg, self.backbone.out_channels
+                )
+                if self.share_mask_fe:
+                    # reference shares the module itself (roi_heads.py:64-66)
+                    roi["mask"].pop("feature_extractor")
+            if self.keypoint_on:
+                roi["keypoint"] = kh.init_keypoint_head(
+                    keys[4], cfg, self.backbone.out_channels
+                )
+            params["roi_heads"] = roi
+        return params
+
+    def frozen_mask(self, params):
+        mask = {"backbone": self.backbone.frozen_mask(params["backbone"])}
+        for k in params:
+            if k != "backbone":
+                mask[k] = jax.tree.map(lambda _: False, params[k])
+        return mask
+
+    # -- shared pieces ------------------------------------------------------------
+
+    def _anchors(self, features):
+        """Per-level anchors for the (static) feature shapes."""
+        return [
+            self.anchor_gen.grid_anchors_level(l, f.shape[1], f.shape[2])
+            for l, f in enumerate(features)
+        ]
+
+    def _rpn_outputs(self, params, features):
+        objectness, bbox_reg = apply_rpn_head(
+            params["rpn"], features, self.compute_dtype
+        )
+        return objectness, bbox_reg
+
+    def _box_features(self, features):
+        return features[: len(self.box_pooler.scales)]
+
+    def _run_mask_extractor(self, params, features, boxes, batch_idx):
+        if self.share_mask_fe:
+            x = multilevel_roi_align(
+                self._box_features(features), boxes, batch_idx, self.box_pooler,
+                self.compute_dtype,
+            )
+            x = bh.apply_box_feature_extractor(
+                params["roi_heads"]["box"]["feature_extractor"], x, self.cfg,
+                self.compute_dtype,
+            )
+            return x
+        x = multilevel_roi_align(
+            features[: len(self.mask_pooler.scales)], boxes, batch_idx,
+            self.mask_pooler, self.compute_dtype,
+        )
+        return mh.apply_mask_feature_extractor(
+            params["roi_heads"]["mask"]["feature_extractor"], x, self.cfg,
+            self.compute_dtype,
+        )
+
+    # -- training -------------------------------------------------------------------
+
+    def train_forward(self, params, batch, rng):
+        cfg = self.cfg
+        images = batch["images"]
+        image_sizes = batch["image_sizes"]
+        gt_boxes = batch["gt_boxes"].astype(jnp.float32)
+        gt_labels = batch["gt_labels"]
+        gt_valid = gt_labels > 0
+
+        features = self.backbone.apply(params["backbone"], images, self.compute_dtype)
+        anchors = self._anchors(features)
+
+        if self.retinanet_on:
+            cls_lvls, reg_lvls = apply_retinanet_head(
+                params["rpn"], features, self.compute_dtype
+            )
+            b = images.shape[0]
+            nc = self.retina_cfg["num_classes"] - 1
+            cat_anchors = jnp.concatenate(anchors, axis=0)
+            cls = jnp.concatenate(
+                [c.reshape(b, -1, nc) for c in cls_lvls], axis=1
+            )
+            reg = jnp.concatenate(
+                [r.reshape(b, -1, 4) for r in reg_lvls], axis=1
+            )
+            cls_loss, reg_loss = retinanet_loss(
+                cat_anchors, cls, reg, gt_boxes, gt_labels, self.retina_cfg
+            )
+            return {"loss_retina_cls": cls_loss, "loss_retina_reg": reg_loss}
+
+        rng_rpn, rng_box = jax.random.split(rng)
+        objectness, bbox_reg = self._rpn_outputs(params, features)
+
+        # RPN loss over all anchors
+        b = images.shape[0]
+        cat_anchors = jnp.concatenate(anchors, axis=0)
+        h = image_sizes[:, 0:1].astype(jnp.float32)
+        w = image_sizes[:, 1:2].astype(jnp.float32)
+        visible = jax.vmap(
+            lambda hh, ww: self.anchor_gen.visibility(cat_anchors, hh, ww)
+        )(h[:, 0], w[:, 0])
+        obj_cat = jnp.concatenate(
+            [o.reshape(b, -1) for o in objectness], axis=1
+        )
+        a = self.num_anchors
+        reg_cat = jnp.concatenate(
+            [r.reshape(b, -1, a, 4).reshape(b, -1, 4) for r in bbox_reg], axis=1
+        )
+        loss_obj, loss_rpn_box = rpn_loss(
+            cat_anchors, visible, obj_cat, reg_cat, gt_boxes, gt_valid, rng_rpn,
+            self.rpn_cfg["fg_iou"], self.rpn_cfg["bg_iou"],
+            self.rpn_cfg["batch_per_image"], self.rpn_cfg["positive_fraction"],
+        )
+        losses = {"loss_objectness": loss_obj, "loss_rpn_box_reg": loss_rpn_box}
+        if self.rpn_only:
+            return losses
+
+        # proposals (no grad through selection, generalized_rcnn/inference)
+        prop_boxes, prop_scores, prop_valid = select_proposals(
+            [lax.stop_gradient(x) for x in anchors],
+            [lax.stop_gradient(o) for o in objectness],
+            [lax.stop_gradient(r) for r in bbox_reg],
+            image_sizes, self.rpn_cfg, is_train=True,
+            gt_boxes=gt_boxes, gt_valid=gt_valid,
+        )
+
+        hcfg = cfg.MODEL.ROI_HEADS
+        targets = bh.prepare_box_targets(
+            prop_boxes, prop_valid, gt_boxes, gt_labels, rng_box,
+            hcfg.FG_IOU_THRESHOLD, hcfg.BG_IOU_THRESHOLD,
+            hcfg.BATCH_SIZE_PER_IMAGE, hcfg.POSITIVE_FRACTION,
+            self.box_reg_weights,
+        )
+
+        rois_flat, batch_idx = _flatten_rois(targets["rois"])
+        class_logits, box_regression, _ = bh.run_box_head(
+            params["roi_heads"]["box"], self._box_features(features),
+            rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
+        )
+        cls_loss, box_loss = bh.box_head_loss(
+            class_logits, box_regression, targets,
+            cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        )
+        losses["loss_classifier"] = cls_loss
+        losses["loss_box_reg"] = box_loss
+
+        if self.mask_on or self.keypoint_on:
+            pos_idx, pos_valid = mh.select_positive_rois(targets, self.num_pos_rois)
+            pos_rois = jnp.take_along_axis(
+                targets["rois"], pos_idx[..., None], axis=1
+            )  # [B, Km, 4]
+            pos_labels = jnp.take_along_axis(targets["labels"], pos_idx, axis=1)
+            pos_mg = jnp.take_along_axis(
+                targets["matched_gt_idx"], pos_idx, axis=1
+            )
+            pos_flat, pos_batch = _flatten_rois(pos_rois)
+
+        if self.mask_on:
+            x = self._run_mask_extractor(params, features, pos_flat, pos_batch)
+            mask_logits = mh.apply_mask_predictor(
+                params["roi_heads"]["mask"]["predictor"], x, cfg, self.compute_dtype
+            )  # [B*Km, M, M, C]
+            # gather matched gt mask patches
+            gt_masks = batch["gt_masks"].astype(jnp.float32)  # [B, G, S, S]
+            patches = jax.vmap(lambda p, i: p[i])(gt_masks, pos_mg)  # [B,Km,S,S]
+            s = patches.shape[-1]
+            km = pos_rois.shape[1]
+            matched_boxes = jax.vmap(lambda gb, i: gb[i])(gt_boxes, pos_mg)
+            m_res = mask_logits.shape[1]
+            tgt = mh.project_gt_masks(
+                patches.reshape(-1, s, s),
+                matched_boxes.reshape(-1, 4),
+                pos_flat,
+                m_res,
+            )
+            losses["loss_mask"] = mh.mask_head_loss(
+                mask_logits, tgt, pos_labels.reshape(-1), pos_valid.reshape(-1)
+            )
+
+        if self.keypoint_on:
+            kp_logits = kh.run_keypoint_head(
+                params["roi_heads"]["keypoint"],
+                features[: len(self.kp_pooler.scales)],
+                pos_flat, pos_batch, self.kp_pooler, cfg, self.compute_dtype,
+            )
+            gt_kps = batch["gt_keypoints"].astype(jnp.float32)  # [B, G, K, 3]
+            matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)
+            kshape = matched_kps.shape
+            losses["loss_kp"] = kh.keypoint_head_loss(
+                kp_logits,
+                matched_kps.reshape(-1, kshape[2], 3),
+                pos_flat,
+                pos_valid.reshape(-1),
+            )
+        return losses
+
+    # -- inference --------------------------------------------------------------------
+
+    def infer_forward(self, params, batch):
+        cfg = self.cfg
+        images = batch["images"]
+        image_sizes = batch["image_sizes"]
+        features = self.backbone.apply(params["backbone"], images, self.compute_dtype)
+        anchors = self._anchors(features)
+
+        if self.retinanet_on:
+            cls_lvls, reg_lvls = apply_retinanet_head(
+                params["rpn"], features, self.compute_dtype
+            )
+            return retinanet_inference(
+                anchors, cls_lvls, reg_lvls, image_sizes, self.retina_cfg
+            )
+
+        objectness, bbox_reg = self._rpn_outputs(params, features)
+        prop_boxes, prop_scores, prop_valid = select_proposals(
+            anchors, objectness, bbox_reg, image_sizes, self.rpn_cfg, is_train=False
+        )
+        if self.rpn_only:
+            return dict(
+                boxes=prop_boxes, scores=prop_scores,
+                labels=jnp.ones(prop_scores.shape, jnp.int32),
+                valid=prop_valid,
+            )
+
+        rois_flat, batch_idx = _flatten_rois(prop_boxes)
+        class_logits, box_regression, _ = bh.run_box_head(
+            params["roi_heads"]["box"], self._box_features(features),
+            rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
+        )
+        b, n = prop_scores.shape
+        c = class_logits.shape[-1]
+        detections = bh.box_head_inference(
+            class_logits.reshape(b, n, c),
+            box_regression.reshape(b, n, -1),
+            prop_boxes, prop_valid, image_sizes,
+            self.box_reg_weights,
+            cfg.MODEL.ROI_HEADS.SCORE_THRESH,
+            cfg.MODEL.ROI_HEADS.NMS,
+            cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+            cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        )
+
+        if self.mask_on:
+            det_flat, det_batch = _flatten_rois(detections["boxes"])
+            x = self._run_mask_extractor(params, features, det_flat, det_batch)
+            mask_logits = mh.apply_mask_predictor(
+                params["roi_heads"]["mask"]["predictor"], x, cfg, self.compute_dtype
+            )  # [B*D, M, M, C]
+            labels = detections["labels"].reshape(-1)
+            safe = jnp.clip(labels, 0, mask_logits.shape[-1] - 1)
+            probs = jax.nn.sigmoid(
+                jnp.take_along_axis(
+                    mask_logits, safe[:, None, None, None], axis=3
+                )[..., 0]
+            )
+            d = detections["boxes"].shape[1]
+            m = probs.shape[1]
+            detections["masks"] = probs.reshape(b, d, m, m)
+
+        if self.keypoint_on:
+            det_flat, det_batch = _flatten_rois(detections["boxes"])
+            kp_logits = kh.run_keypoint_head(
+                params["roi_heads"]["keypoint"],
+                features[: len(self.kp_pooler.scales)],
+                det_flat, det_batch, self.kp_pooler, cfg, self.compute_dtype,
+            )
+            kps = kh.heatmaps_to_keypoints(kp_logits, det_flat)  # [B*D, K, 4]
+            d = detections["boxes"].shape[1]
+            detections["keypoints"] = kps.reshape(b, d, kps.shape[1], 4)
+        return detections
+
+
+def build_detection_model(cfg):
+    meta = cfg.MODEL.META_ARCHITECTURE
+    if meta != "GeneralizedRCNN":
+        raise ValueError("Unknown META_ARCHITECTURE {}".format(meta))
+    return GeneralizedRCNN(cfg)

@@ -121,6 +121,8 @@ def conv2d(x, p, stride=1, padding=0, dilation=1, groups=1, compute_dtype=jnp.bf
         dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    # No explicit preferred_element_type: XLA accumulates bf16 convs in f32
+    # on the MXU already, and a f32 output here breaks the VJP dtype match.
     out = lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
@@ -129,8 +131,7 @@ def conv2d(x, p, stride=1, padding=0, dilation=1, groups=1, compute_dtype=jnp.bf
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+    )
     if "b" in p:
         out = out + p["b"].astype(compute_dtype)
     return out
@@ -146,8 +147,7 @@ def conv_transpose2d(x, p, stride=2, compute_dtype=jnp.bfloat16):
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+    )
     # torch ConvTranspose2d(k, s, p) output: (in-1)*s - 2p + k ; for the
     # heads k=2,s=2,p=0 and k=4,s=2,p=1. VALID gives (in-1)*s + k; crop p on
     # each side to match torch.
@@ -181,12 +181,8 @@ def group_norm(x, p, num_groups, eps=1e-5):
 
 
 def linear(x, p, compute_dtype=jnp.bfloat16):
-    out = jnp.dot(
-        x.astype(compute_dtype),
-        p["w"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    return (out + p["b"].astype(jnp.float32)).astype(compute_dtype)
+    out = jnp.dot(x.astype(compute_dtype), p["w"].astype(compute_dtype))
+    return out + p["b"].astype(compute_dtype)
 
 
 def max_pool2d(x, window=3, stride=2, padding=1):

@@ -1,0 +1,153 @@
+"""Multi-level ROIAlign pooler (fused single-gather design).
+
+Reference: maskrcnn_benchmark/modeling/poolers.py:11-133 — assigns each ROI
+to an FPN level (FPN paper eqn. 1), pools per level, then scatters results
+back by index. That design needs dynamic per-level ROI sets.
+
+TPU-native redesign: all pyramid levels are flattened and concatenated into
+ONE [sum_l(B*Hl*Wl), C] buffer; each ROI computes its level, looks up that
+level's (offset, stride, H, W) from small static tables, and bilinearly
+gathers its samples directly out of the fused buffer. One gather for all
+ROIs across all levels — no scatter, no per-level batching, fixed shapes.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+from ..ops.box_ops import TO_REMOVE
+
+
+class PoolerConfig:
+    def __init__(self, output_size, scales, sampling_ratio, canonical_scale=224, canonical_level=4):
+        self.output_size = (
+            (output_size, output_size) if isinstance(output_size, int) else tuple(output_size)
+        )
+        self.scales = tuple(scales)
+        # the reference's sampling_ratio=0 means "adaptive"; use 2 (static)
+        self.sampling_ratio = int(sampling_ratio) if sampling_ratio > 0 else 2
+        # LevelMapper constants (poolers.py:23-42)
+        self.k_min = -int(math.log2(self.scales[0]))
+        self.k_max = -int(math.log2(self.scales[-1]))
+        self.canonical_scale = canonical_scale
+        self.canonical_level = canonical_level
+
+
+def assign_levels(boxes, pcfg):
+    """FPN paper eqn.1 level per ROI (0-based into the pyramid list)."""
+    area = jnp.maximum(boxes[..., 2] - boxes[..., 0] + TO_REMOVE, 0) * jnp.maximum(
+        boxes[..., 3] - boxes[..., 1] + TO_REMOVE, 0
+    )
+    s = jnp.sqrt(area)
+    target = jnp.floor(
+        pcfg.canonical_level + jnp.log2(s / pcfg.canonical_scale + 1e-6)
+    )
+    target = jnp.clip(target, pcfg.k_min, pcfg.k_max)
+    return (target - pcfg.k_min).astype(jnp.int32)
+
+
+def multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype=jnp.bfloat16):
+    """Pool each ROI from its assigned pyramid level.
+
+    Args:
+      features: list of [B, Hl, Wl, C] arrays, one per scale in pcfg.scales
+        (a single-level pooler is the len==1 case).
+      boxes: [R, 4] xyxy in image coordinates.
+      batch_idx: [R] int32 image index of each ROI.
+      pcfg: PoolerConfig.
+
+    Returns [R, ph, pw, C].
+    """
+    assert len(features) == len(pcfg.scales)
+    ph, pw = pcfg.output_size
+    s = pcfg.sampling_ratio
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    r = boxes.shape[0]
+
+    # Static per-level tables.
+    hs = [f.shape[1] for f in features]
+    ws = [f.shape[2] for f in features]
+    offsets = []
+    off = 0
+    for hl, wl in zip(hs, ws):
+        offsets.append(off)
+        off += b * hl * wl
+    flat = jnp.concatenate(
+        [f.astype(compute_dtype).reshape(-1, c) for f in features], axis=0
+    )
+
+    tbl_h = jnp.asarray(hs, jnp.int32)
+    tbl_w = jnp.asarray(ws, jnp.int32)
+    tbl_off = jnp.asarray(offsets, jnp.int32)
+    tbl_scale = jnp.asarray(pcfg.scales, jnp.float32)
+
+    if len(features) == 1:
+        lvl = jnp.zeros((r,), jnp.int32)
+    else:
+        lvl = assign_levels(boxes, pcfg)
+
+    roi_h = tbl_h[lvl]  # [R]
+    roi_wl = tbl_w[lvl]
+    roi_off = tbl_off[lvl] + batch_idx * (roi_h * roi_wl)
+    scale = tbl_scale[lvl]
+
+    rois = boxes.astype(jnp.float32) * scale[:, None]
+    rw = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    bin_w = rw / pw
+    bin_h = rh / ph
+
+    iy = (jnp.arange(ph * s) // s).astype(jnp.float32)
+    sy = (jnp.arange(ph * s) % s).astype(jnp.float32)
+    ys = rois[:, 1:2] + iy[None, :] * bin_h[:, None] + (sy[None, :] + 0.5) * (
+        bin_h[:, None] / s
+    )  # [R, ph*s]
+    ix = (jnp.arange(pw * s) // s).astype(jnp.float32)
+    sx = (jnp.arange(pw * s) % s).astype(jnp.float32)
+    xs = rois[:, 0:1] + ix[None, :] * bin_w[:, None] + (sx[None, :] + 0.5) * (
+        bin_w[:, None] / s
+    )  # [R, pw*s]
+
+    y = jnp.broadcast_to(ys[:, :, None], (r, ph * s, pw * s))
+    x = jnp.broadcast_to(xs[:, None, :], (r, ph * s, pw * s))
+    h_f = roi_h.astype(jnp.float32)[:, None, None]
+    w_f = roi_wl.astype(jnp.float32)[:, None, None]
+
+    outside = (y < -1.0) | (y > h_f) | (x < -1.0) | (x > w_f)
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+    h_i = roi_h[:, None, None]
+    w_i = roi_wl[:, None, None]
+    y_low = jnp.minimum(y.astype(jnp.int32), h_i - 1)
+    x_low = jnp.minimum(x.astype(jnp.int32), w_i - 1)
+    y_high = jnp.minimum(y_low + 1, h_i - 1)
+    x_high = jnp.minimum(x_low + 1, w_i - 1)
+    y = jnp.where(y_low >= h_i - 1, y_low.astype(y.dtype), y)
+    x = jnp.where(x_low >= w_i - 1, x_low.astype(x.dtype), x)
+    ly = y - y_low
+    lx = x - x_low
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    base = roi_off[:, None, None]
+
+    def take(yy, xx):
+        return flat[base + yy * w_i + xx]
+
+    val = (
+        (hy * hx)[..., None].astype(compute_dtype) * take(y_low, x_low)
+        + (hy * lx)[..., None].astype(compute_dtype) * take(y_low, x_high)
+        + (ly * hx)[..., None].astype(compute_dtype) * take(y_high, x_low)
+        + (ly * lx)[..., None].astype(compute_dtype) * take(y_high, x_high)
+    )
+    val = jnp.where(outside[..., None], jnp.zeros((), compute_dtype), val)
+    out = val.reshape(r, ph, s, pw, s, c).mean(axis=(2, 4))
+    return out
+
+
+def make_pooler(cfg, head_name):
+    head = getattr(cfg.MODEL, head_name)
+    return PoolerConfig(
+        head.POOLER_RESOLUTION, head.POOLER_SCALES, head.POOLER_SAMPLING_RATIO
+    )

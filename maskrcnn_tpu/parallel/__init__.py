@@ -1,0 +1,9 @@
+from .mesh import create_mesh, data_sharding, replicate, replicated, shard_batch
+
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]
