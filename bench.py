@@ -1,0 +1,83 @@
+"""Benchmark: Mask R-CNN R-50-FPN single-chip training throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference trains Mask R-CNN R-50-FPN at 4.4 images/s per V100
+(MODEL_ZOO.md:26 — 0.4536 s/iter at global batch 16 on 8 GPUs).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_DEVICE = 4.41  # 16 img / 0.4536 s / 8 GPUs
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+    from maskrcnn_tpu.engine.train_step import make_train_step
+    from maskrcnn_tpu.models import build_detection_model
+    from maskrcnn_tpu.solver import make_optimizer
+
+    c = _flagship_cfg(tiny=False)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(c, params, model.frozen_mask(params))
+    opt_state = tx.init(params)
+
+    b = int(os.environ.get("BENCH_BATCH", "2"))  # reference: 2 img/device
+    h, w = 800, 1344
+    g = c.TPU.MAX_GT_BOXES
+    rs = np.random.RandomState(0)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    n_gt = 20
+    ctr = rs.uniform(100, 700, (b, n_gt, 2))
+    wh = rs.uniform(40, 300, (b, n_gt, 2))
+    gt_boxes[:, :n_gt, :2] = ctr - wh / 2
+    gt_boxes[:, :n_gt, 2:] = ctr + wh / 2
+    gt_labels = np.zeros((b, g), np.int32)
+    gt_labels[:, :n_gt] = rs.randint(1, 81, (b, n_gt))
+    batch = dict(
+        images=rs.randn(b, h, w, 3).astype(np.float32),
+        image_sizes=np.asarray([[800, 1333]] * b, np.int32),
+        gt_boxes=gt_boxes,
+        gt_labels=gt_labels,
+        gt_masks=(rs.rand(b, g, c.TPU.GT_MASK_SIZE, c.TPU.GT_MASK_SIZE) > 0.5).astype(
+            np.uint8
+        ),
+    )
+    batch = jax.tree.map(jax.numpy.asarray, batch)
+
+    step = make_train_step(model, tx, mesh=None, donate=True)
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    params, opt_state, m = step(params, opt_state, batch, rng)
+    jax.block_until_ready(m["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step(params, opt_state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    img_per_sec = b / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "maskrcnn_r50fpn_train_images_per_sec_per_chip",
+                "value": round(img_per_sec, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_DEVICE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

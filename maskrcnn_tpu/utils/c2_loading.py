@@ -211,17 +211,15 @@ def _convert_leaf(path, template_leaf, value):
     value = np.asarray(value, np.float32)
     t = np.asarray(template_leaf)
     if value.ndim == 4 and t.ndim == 4:
-        if path.endswith("conv5_mask/w") or path.endswith("kps_score_lowres/w") or "conv5_mask" in path and path.endswith("/w"):
-            # deconv: torch [in, out, kh, kw] -> HWIO (I=in)
-            v = value.transpose(2, 3, 0, 1)
+        if "conv5_mask" in path or "kps_score_lowres" in path:
+            # deconv: torch [in, out, kh, kw] -> HWIO (I=in) + spatial flip
+            # (lax.conv_transpose correlates with the kernel as-is; torch's
+            # ConvTranspose2d is the conv gradient = flipped kernel —
+            # verified numerically against torch)
+            v = np.flip(value.transpose(2, 3, 0, 1), axis=(0, 1))
         else:
             # conv: OIHW -> HWIO
             v = value.transpose(2, 3, 1, 0)
-        if v.shape != t.shape:
-            # maybe it *was* a deconv stored like conv
-            v2 = value.transpose(2, 3, 0, 1)
-            if v2.shape == t.shape:
-                v = v2
         return v
     if value.ndim == 2 and t.ndim == 2:
         return value.T  # [out, in] -> [in, out]

@@ -1,0 +1,142 @@
+"""Model build/run smoke tests (tiny shapes).
+
+Mirrors the reference's tests/test_detectors.py strategy: build every
+config's model, run eval-mode forward on random input, check output
+contract. Shrunken NMS top-k for speed (reference does the same,
+test_detectors.py:105-106).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.config import cfg
+from maskrcnn_tpu.models import build_detection_model
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def tiny(c):
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    c.MODEL.RPN.POST_NMS_TOP_N_TEST = 32
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 32
+    c.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 64
+    c.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 32
+    c.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN = 48
+    c.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    c.MODEL.RETINANET.PRE_NMS_TOP_N = 64
+    c.TEST.DETECTIONS_PER_IMG = 8
+    c.TPU.MAX_GT_BOXES = 8
+    return c
+
+
+def make_batch(b=2, h=96, w=128, with_targets=False, num_kp=17):
+    rs = np.random.RandomState(0)
+    batch = dict(
+        images=jnp.asarray(rs.randn(b, h, w, 3), jnp.float32),
+        image_sizes=jnp.asarray([[h - 8, w - 16]] * b, jnp.int32),
+    )
+    if with_targets:
+        g = 8
+        gt_boxes = np.zeros((b, g, 4), np.float32)
+        gt_boxes[:, :2] = [[10, 10, 60, 70], [30, 20, 90, 80]]
+        gt_labels = np.zeros((b, g), np.int32)
+        gt_labels[:, :2] = [1, 1]
+        batch.update(
+            gt_boxes=jnp.asarray(gt_boxes),
+            gt_labels=jnp.asarray(gt_labels),
+            gt_masks=jnp.asarray((rs.rand(b, g, 28, 28) > 0.5).astype(np.uint8)),
+            gt_keypoints=jnp.asarray(
+                np.tile(
+                    np.array([[40.0, 40.0, 2.0]], np.float32), (b, g, num_kp, 1)
+                )
+            ),
+        )
+    return batch
+
+
+CONFIGS = [
+    "e2e_faster_rcnn_R_50_FPN_1x.yaml",
+    "e2e_mask_rcnn_R_50_FPN_1x.yaml",
+    "e2e_keypoint_rcnn_R_50_FPN_1x.yaml",
+    "retinanet/retinanet_R-50-FPN_1x.yaml",
+    "rpn_R_50_FPN_1x.yaml",
+]
+
+
+def test_all_own_configs_merge():
+    n = 0
+    for root, _, files in os.walk(CONFIG_DIR):
+        for fn in files:
+            if fn.endswith(".yaml"):
+                c = cfg.clone()
+                c.merge_from_file(os.path.join(root, fn))
+                n += 1
+    assert n >= 15
+
+
+@pytest.mark.parametrize("config", CONFIGS)
+def test_build_and_infer(config):
+    c = tiny(cfg.clone())
+    c.merge_from_file(os.path.join(CONFIG_DIR, config))
+    c = tiny(c)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = make_batch()
+    det = jax.jit(model.infer_forward)(params, batch)
+    b = batch["images"].shape[0]
+    assert det["boxes"].shape[0] == b
+    assert det["boxes"].shape[2] == 4
+    assert det["scores"].shape == det["labels"].shape == det["valid"].shape
+    # valid detections have finite boxes inside the image
+    boxes = np.asarray(det["boxes"])
+    assert np.isfinite(boxes).all()
+
+
+@pytest.mark.parametrize("config", ["e2e_mask_rcnn_R_50_FPN_1x.yaml"])
+def test_train_step_updates_params(config):
+    from maskrcnn_tpu.engine.train_step import make_train_step
+    from maskrcnn_tpu.solver import make_optimizer
+
+    c = tiny(cfg.clone())
+    c.merge_from_file(os.path.join(CONFIG_DIR, config))
+    c = tiny(c)
+    c.SOLVER.BASE_LR = 0.01
+    c.SOLVER.WARMUP_ITERS = 0
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    frozen = model.frozen_mask(params)
+    tx, _ = make_optimizer(c, params, frozen)
+    opt_state = tx.init(params)
+    batch = make_batch(with_targets=True)
+    step = make_train_step(model, tx, mesh=None, donate=False)
+    new_params, new_opt, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # trainable params move, frozen params don't
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, new_params
+    )
+    rpn_moved = jax.tree.leaves(moved["rpn"])
+    assert max(rpn_moved) > 0
+    # frozen stem must not move
+    stem_moved = jax.tree.leaves(moved["backbone"]["body"]["stem"])
+    assert max(stem_moved) == 0
+    # frozen-BN buffers in trainable stages must not move
+    bn_moved = moved["backbone"]["body"]["layer2"][0]["bn1"]
+    assert max(jax.tree.leaves(bn_moved)) == 0
+
+
+def test_multichip_dryrun():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
