@@ -146,10 +146,22 @@ def test_full_model_inference_parity():
     my_scores = np.asarray(det["scores"][0])[v]
     my_labels = np.asarray(det["labels"][0])[v]
 
-    # order can differ within ties; compare as sorted sets by score
+    # order can differ within score ties; match detections greedily
     assert len(my_scores) == len(ref_scores), (len(my_scores), len(ref_scores))
     o1 = np.argsort(-my_scores)
     o2 = np.argsort(-ref_scores)
     np.testing.assert_allclose(my_scores[o1], ref_scores[o2], atol=1e-3)
-    np.testing.assert_array_equal(my_labels[o1], ref_labels[o2])
-    np.testing.assert_allclose(my_boxes[o1], ref_boxes[o2], atol=0.5)
+    np.testing.assert_array_equal(np.sort(my_labels), np.sort(ref_labels))
+    used = np.zeros(len(ref_scores), bool)
+    for i in range(len(my_scores)):
+        found = False
+        for j in range(len(ref_scores)):
+            if used[j] or my_labels[i] != ref_labels[j]:
+                continue
+            if abs(my_scores[i] - ref_scores[j]) > 2e-3:
+                continue
+            if np.abs(my_boxes[i] - ref_boxes[j]).max() < 1.0:
+                used[j] = True
+                found = True
+                break
+        assert found, (i, my_boxes[i], my_scores[i], my_labels[i])
