@@ -23,6 +23,10 @@ class BackboneDef:
 
 def build_backbone(cfg):
     body = cfg.MODEL.BACKBONE.CONV_BODY
+    if body.startswith("FBNet"):
+        from .fbnet import build_fbnet_backbone
+
+        return build_fbnet_backbone(cfg)
     rcfg = ResNetConfig(cfg)
     use_fpn = "FPN" in body
     retinanet = "RETINANET" in body

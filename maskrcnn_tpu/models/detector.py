@@ -109,9 +109,16 @@ class GeneralizedRCNN:
                 keys[1], cfg, self.backbone.out_channels
             )
             return params
-        params["rpn"] = init_rpn_head(
-            keys[1], self.backbone.out_channels, self.num_anchors
-        )
+        if cfg.MODEL.RPN.RPN_HEAD == "FBNet.rpn_head":
+            from .fbnet import init_fbnet_rpn_head
+
+            params["rpn"] = init_fbnet_rpn_head(
+                keys[1], cfg, self.backbone.out_channels, self.num_anchors
+            )
+        else:
+            params["rpn"] = init_rpn_head(
+                keys[1], self.backbone.out_channels, self.num_anchors
+            )
         if not self.rpn_only:
             roi = {"box": bh.init_box_head(keys[2], cfg, self.backbone.out_channels)}
             if self.mask_on:
@@ -145,10 +152,13 @@ class GeneralizedRCNN:
         ]
 
     def _rpn_outputs(self, params, features):
-        objectness, bbox_reg = apply_rpn_head(
-            params["rpn"], features, self.compute_dtype
-        )
-        return objectness, bbox_reg
+        if self.cfg.MODEL.RPN.RPN_HEAD == "FBNet.rpn_head":
+            from .fbnet import apply_fbnet_rpn_head
+
+            return apply_fbnet_rpn_head(
+                params["rpn"], self.cfg, features, self.compute_dtype
+            )
+        return apply_rpn_head(params["rpn"], features, self.compute_dtype)
 
     def _box_features(self, features):
         return features[: len(self.box_pooler.scales)]

@@ -35,6 +35,10 @@ from ..resnet import apply_res5_head, init_res5_head, make_res5_head_config
 
 def init_box_feature_extractor(key, cfg, in_channels):
     name = cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR
+    if name == "FBNet.roi_head":
+        from ..fbnet import init_fbnet_head
+
+        return init_fbnet_head(key, cfg, in_channels, which="bbox")
     if name == "FPN2MLPFeatureExtractor":
         res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
         input_size = in_channels * res * res
@@ -75,6 +79,10 @@ def init_box_feature_extractor(key, cfg, in_channels):
 def apply_box_feature_extractor(params, x, cfg, compute_dtype=jnp.bfloat16):
     """x: [R, ph, pw, C] pooled features -> [R, D] (or [R, h, w, c] for C4)."""
     name = cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR
+    if name == "FBNet.roi_head":
+        from ..fbnet import apply_fbnet_head
+
+        return apply_fbnet_head(params, cfg, x, which="bbox", compute_dtype=compute_dtype)
     if name == "FPN2MLPFeatureExtractor":
         r = x.shape[0]
         x = x.reshape(r, -1)

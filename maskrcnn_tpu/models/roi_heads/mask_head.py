@@ -25,6 +25,10 @@ from ..resnet import apply_res5_head, init_res5_head, make_res5_head_config
 
 def init_mask_feature_extractor(key, cfg, in_channels):
     name = cfg.MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR
+    if name == "FBNet.roi_head_mask":
+        from ..fbnet import init_fbnet_head
+
+        return init_fbnet_head(key, cfg, in_channels, which="mask")
     if name == "MaskRCNNFPNFeatureExtractor":
         layers = cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS
         keys = jax.random.split(key, len(layers))
@@ -44,6 +48,10 @@ def init_mask_feature_extractor(key, cfg, in_channels):
 
 def apply_mask_feature_extractor(params, x, cfg, compute_dtype=jnp.bfloat16):
     name = cfg.MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR
+    if name == "FBNet.roi_head_mask":
+        from ..fbnet import apply_fbnet_head
+
+        return apply_fbnet_head(params, cfg, x, which="mask", compute_dtype=compute_dtype)
     if name == "MaskRCNNFPNFeatureExtractor":
         dilation = cfg.MODEL.ROI_MASK_HEAD.DILATION
         for c in params["convs"]:
