@@ -29,7 +29,9 @@ def main():
     tx, _ = make_optimizer(c, params, model.frozen_mask(params))
     opt_state = tx.init(params)
 
-    b = int(os.environ.get("BENCH_BATCH", "2"))  # reference: 2 img/device
+    # reference used 2 img/GPU; per-chip throughput is maximized at larger
+    # per-chip batch (standard on TPU; global batch/LR scale accordingly)
+    b = int(os.environ.get("BENCH_BATCH", "8"))
     h, w = 800, 1344
     g = c.TPU.MAX_GT_BOXES
     rs = np.random.RandomState(0)

@@ -59,8 +59,9 @@ def _apply_norm(x, p, kind, gn_groups=32):
     return frozen_bn(x, p)
 
 
-def init_bottleneck(key, cin, bottleneck_channels, cout, num_groups, norm_kind):
-    keys = jax.random.split(key, 4)
+def init_bottleneck(key, cin, bottleneck_channels, cout, num_groups, norm_kind,
+                    dcn=None):
+    keys = jax.random.split(key, 5)
     p = {
         "conv1": init_conv(keys[0], 1, 1, cin, bottleneck_channels, bias=False),
         "bn1": _init_norm(bottleneck_channels, norm_kind),
@@ -72,6 +73,15 @@ def init_bottleneck(key, cin, bottleneck_channels, cout, num_groups, norm_kind):
         "conv3": init_conv(keys[2], 1, 1, bottleneck_channels, cout, bias=False),
         "bn3": _init_norm(cout, norm_kind),
     }
+    if dcn is not None:
+        # DFConv2d (reference layers/misc.py:110-203): a regular conv
+        # predicting per-tap offsets (+ modulation mask for v2),
+        # zero-initialized so training starts as a plain conv.
+        g = dcn["deformable_groups"]
+        off_ch = (27 if dcn["modulated"] else 18) * g
+        p["conv2_offset"] = init_conv(
+            keys[4], 3, 3, bottleneck_channels, off_ch, bias=True, init="zeros"
+        )
     if cin != cout:
         p["downsample"] = {
             "conv": init_conv(keys[3], 1, 1, cin, cout, bias=False),
@@ -82,15 +92,35 @@ def init_bottleneck(key, cin, bottleneck_channels, cout, num_groups, norm_kind):
 
 def apply_bottleneck(
     p, x, stride, dilation, num_groups, stride_in_1x1, norm_kind, gn_groups,
-    compute_dtype,
+    compute_dtype, dcn=None,
 ):
     s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
     out = conv2d(x, p["conv1"], stride=s1, padding=0, compute_dtype=compute_dtype)
     out = relu(_apply_norm(out, p["bn1"], norm_kind, gn_groups))
-    out = conv2d(
-        out, p["conv2"], stride=s2, padding=dilation, dilation=dilation,
-        groups=num_groups, compute_dtype=compute_dtype,
-    )
+    if dcn is not None and "conv2_offset" in p:
+        from ..ops.deform_conv import deform_conv2d
+
+        g = dcn["deformable_groups"]
+        off = conv2d(
+            out, p["conv2_offset"], stride=s2, padding=dilation,
+            dilation=dilation, compute_dtype=jnp.float32,
+        ).astype(jnp.float32)
+        if dcn["modulated"]:
+            k2 = 9
+            offsets = off[..., : 2 * k2 * g]
+            mask = jax.nn.sigmoid(off[..., 2 * k2 * g:])
+        else:
+            offsets, mask = off, None
+        out = deform_conv2d(
+            out, offsets, p["conv2"]["w"], mask=mask, stride=s2,
+            padding=dilation, dilation=dilation, groups=num_groups,
+            deformable_groups=g, compute_dtype=compute_dtype,
+        ).astype(compute_dtype)
+    else:
+        out = conv2d(
+            out, p["conv2"], stride=s2, padding=dilation, dilation=dilation,
+            groups=num_groups, compute_dtype=compute_dtype,
+        )
     out = relu(_apply_norm(out, p["bn2"], norm_kind, gn_groups))
     out = conv2d(out, p["conv3"], padding=0, compute_dtype=compute_dtype)
     out = _apply_norm(out, p["bn3"], norm_kind, gn_groups)
@@ -105,14 +135,15 @@ def apply_bottleneck(
     return relu(out + identity)
 
 
-def init_stage(key, cin, bottleneck_channels, cout, block_count, num_groups, norm_kind):
+def init_stage(key, cin, bottleneck_channels, cout, block_count, num_groups,
+               norm_kind, dcn=None):
     keys = jax.random.split(key, block_count)
     blocks = []
     for i in range(block_count):
         blocks.append(
             init_bottleneck(
                 keys[i], cin if i == 0 else cout, bottleneck_channels, cout,
-                num_groups, norm_kind,
+                num_groups, norm_kind, dcn=dcn,
             )
         )
     return blocks
@@ -120,16 +151,13 @@ def init_stage(key, cin, bottleneck_channels, cout, block_count, num_groups, nor
 
 def apply_stage(
     blocks, x, first_stride, dilation, num_groups, stride_in_1x1, norm_kind,
-    gn_groups, compute_dtype,
+    gn_groups, compute_dtype, dcn=None,
 ):
     for i, bp in enumerate(blocks):
         stride = first_stride if i == 0 else 1
-        # reference: with dilation > 1, stride stays 1 (resnet.py:176-177)
-        if dilation > 1:
-            stride = 1 if i == 0 and first_stride > 1 and False else stride
         x = apply_bottleneck(
             bp, x, stride, dilation, num_groups, stride_in_1x1, norm_kind,
-            gn_groups, compute_dtype,
+            gn_groups, compute_dtype, dcn=dcn,
         )
     return x
 
@@ -164,6 +192,11 @@ class ResNetConfig:
         self.gn_groups = cfg.MODEL.GROUP_NORM.NUM_GROUPS
         self.freeze_at = cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
 
+        stage_with_dcn = tuple(cfg.MODEL.RESNETS.STAGE_WITH_DCN)
+        dcn_cfg = dict(
+            modulated=cfg.MODEL.RESNETS.WITH_MODULATED_DCN,
+            deformable_groups=cfg.MODEL.RESNETS.DEFORMABLE_GROUPS,
+        )
         self.stages = []
         for spec in self.stage_specs:
             i = spec.index
@@ -177,6 +210,9 @@ class ResNetConfig:
                     first_stride=1 if i == 1 else 2,
                     dilation=self.res5_dilation if i == 4 else 1,
                     return_features=spec.return_features,
+                    dcn=dcn_cfg if (
+                        i - 1 < len(stage_with_dcn) and stage_with_dcn[i - 1]
+                    ) else None,
                 )
             )
         self.out_channels = [s["out"] for s in self.stages if s["return_features"]]
@@ -189,6 +225,7 @@ def init_resnet(key, rcfg):
         params[st["name"]] = init_stage(
             keys[i + 1], st["in_channels"], st["bottleneck"], st["out"],
             st["block_count"], rcfg.num_groups, rcfg.norm_kind,
+            dcn=st.get("dcn"),
         )
     return params
 
@@ -209,6 +246,7 @@ def apply_resnet(params, x, rcfg, compute_dtype=jnp.bfloat16):
         x = apply_stage(
             sp, x, st["first_stride"], st["dilation"], rcfg.num_groups,
             rcfg.stride_in_1x1, rcfg.norm_kind, rcfg.gn_groups, compute_dtype,
+            dcn=st.get("dcn"),
         )
         if st["return_features"]:
             outputs.append(x)
