@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..ops.box_ops import box_iou, clip_boxes_to_image, decode_boxes, encode_boxes, small_box_mask
 from ..ops.losses import sigmoid_focal_loss, smooth_l1_loss
 from ..ops.matcher import match_proposals
-from ..ops.nms import NEG_INF, multiclass_nms_mask
+from ..ops.nms import NEG_INF, batched_nms
 from .layers import conv2d, init_conv, relu
 
 import math
@@ -154,20 +154,32 @@ def retinanet_inference(
     labels = jnp.concatenate(cand_labels, axis=1)
     valid = jnp.concatenate(cand_valid, axis=1)
 
-    def per_image(bx, sc, lb, vl):
-        keep = multiclass_nms_mask(bx, sc, lb, vl, rcfg["nms_th"])
-        masked = jnp.where(keep, sc, NEG_INF)
-        top_scores, idx = jax.lax.top_k(masked, rcfg["detections_per_img"])
-        out_valid = top_scores > NEG_INF / 2
-        return (
-            jnp.where(out_valid[:, None], bx[idx], 0.0),
-            jnp.where(out_valid, top_scores, 0.0),
-            jnp.where(out_valid, lb[idx], 0).astype(jnp.int32),
-            out_valid,
-        )
-
-    ob, osc, olb, ov = jax.vmap(per_image)(boxes, scores, labels, valid)
-    return dict(boxes=ob, scores=osc, labels=olb, valid=ov)
+    # per-class NMS via the class-offset trick, batched over images; the
+    # candidate set is prefiltered to the top-k scores per image to bound
+    # the sequential NMS work.
+    b_, n_tot = scores.shape
+    k_nms = min(n_tot, 1000)
+    masked = jnp.where(valid, scores, NEG_INF)
+    top_sc, top_ix = jax.lax.top_k(masked, k_nms)
+    top_bx = jnp.take_along_axis(boxes, top_ix[..., None], axis=1)
+    top_lb = jnp.take_along_axis(labels, top_ix, axis=1)
+    top_vl = top_sc > NEG_INF / 2
+    max_coord = 1e4
+    offset_boxes = top_bx + (
+        top_lb.astype(top_bx.dtype)[..., None] * (max_coord + 1.0)
+    )
+    keep = batched_nms(offset_boxes, top_sc, top_vl, rcfg["nms_th"])
+    kept = jnp.where(keep, top_sc, NEG_INF)
+    out_scores, idx = jax.lax.top_k(kept, rcfg["detections_per_img"])
+    out_valid = out_scores > NEG_INF / 2
+    ob = jnp.where(
+        out_valid[..., None], jnp.take_along_axis(top_bx, idx[..., None], axis=1), 0.0
+    )
+    olb = jnp.where(
+        out_valid, jnp.take_along_axis(top_lb, idx, axis=1), 0
+    ).astype(jnp.int32)
+    osc = jnp.where(out_valid, out_scores, 0.0)
+    return dict(boxes=ob, scores=osc, labels=olb, valid=out_valid)
 
 
 def make_retinanet_cfg(cfg):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ...ops.box_ops import box_iou, clip_boxes_to_image, decode_boxes, encode_boxes
 from ...ops.losses import smooth_l1_loss, softmax_cross_entropy
 from ...ops.matcher import match_proposals
-from ...ops.nms import NEG_INF, nms_mask
+from ...ops.nms import NEG_INF, batched_nms
 from ...ops.sampler import sample_topk_indices
 from ..layers import (
     conv2d,
@@ -244,25 +244,35 @@ def box_head_inference(
         decoded.reshape(b, n * c, 4), (h, w)
     ).reshape(b, n, c, 4)
 
-    def per_image(probs_i, boxes_i, pvalid_i):
-        # class lanes 1..C-1 (skip background)
-        cls_boxes = jnp.moveaxis(boxes_i[:, 1:, :], 1, 0)  # [C-1, N, 4]
-        cls_scores = probs_i[:, 1:].T  # [C-1, N]
-        cls_valid = (cls_scores > score_thresh) & pvalid_i[None, :]
-        keep = jax.vmap(lambda bx, sc, vl: nms_mask(bx, sc, vl, nms_thresh))(
-            cls_boxes, cls_scores, cls_valid
-        )
-        flat_scores = jnp.where(keep, cls_scores, NEG_INF).reshape(-1)
-        top_scores, top_idx = jax.lax.top_k(flat_scores, detections_per_img)
-        out_valid = top_scores > NEG_INF / 2
-        flat_boxes = cls_boxes.reshape(-1, 4)
-        out_boxes = jnp.where(out_valid[:, None], flat_boxes[top_idx], 0.0)
-        out_labels = jnp.where(out_valid, top_idx // n + 1, 0)
-        out_scores = jnp.where(out_valid, top_scores, 0.0)
-        return out_boxes, out_scores, out_labels.astype(jnp.int32), out_valid
+    # Per-class NMS over (batch x class) lanes. Candidates are prefiltered
+    # to the top nms_topk_per_class scores per lane — survivors past that
+    # rank cannot realistically enter the top DETECTIONS_PER_IMG — which
+    # bounds the sequential NMS work.
+    nc = c - 1  # foreground classes
+    cls_boxes = jnp.moveaxis(decoded[:, :, 1:, :], 2, 1).reshape(b * nc, n, 4)
+    cls_scores = jnp.moveaxis(probs[:, :, 1:], 2, 1).reshape(b * nc, n)
+    cls_valid = (cls_scores > score_thresh) & jnp.repeat(prop_valid, nc, axis=0)
 
-    boxes, scores, labels, valid = jax.vmap(per_image)(probs, decoded, prop_valid)
-    return dict(boxes=boxes, scores=scores, labels=labels, valid=valid)
+    k_nms = min(n, max(detections_per_img * 2, 128))
+    masked = jnp.where(cls_valid, cls_scores, NEG_INF)
+    top_sc, top_ix = jax.lax.top_k(masked, k_nms)  # [B*nc, k]
+    top_bx = jnp.take_along_axis(cls_boxes, top_ix[..., None], axis=1)
+    top_vl = top_sc > NEG_INF / 2
+
+    keep = batched_nms(top_bx, top_sc, top_vl, nms_thresh)  # [B*nc, k]
+
+    kept_scores = jnp.where(keep, top_sc, NEG_INF).reshape(b, nc * k_nms)
+    out_scores, flat_idx = jax.lax.top_k(kept_scores, detections_per_img)
+    out_valid = out_scores > NEG_INF / 2
+    flat_boxes = top_bx.reshape(b, nc * k_nms, 4)
+    out_boxes = jnp.where(
+        out_valid[..., None],
+        jnp.take_along_axis(flat_boxes, flat_idx[..., None], axis=1),
+        0.0,
+    )
+    out_labels = jnp.where(out_valid, flat_idx // k_nms + 1, 0).astype(jnp.int32)
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    return dict(boxes=out_boxes, scores=out_scores, labels=out_labels, valid=out_valid)
 
 
 # -- full head wiring ---------------------------------------------------------------

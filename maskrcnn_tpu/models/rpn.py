@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..ops.box_ops import clip_boxes_to_image, decode_boxes, encode_boxes, box_iou, small_box_mask
 from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
 from ..ops.matcher import match_proposals
-from ..ops.nms import NEG_INF, nms_mask
+from ..ops.nms import NEG_INF, batched_nms
 from ..ops.sampler import sample_masks
 from .layers import conv2d, init_conv, relu
 
@@ -84,9 +84,7 @@ def _select_level_proposals(
     boxes = clip_boxes_to_image(boxes, (h, w))
     valid = small_box_mask(boxes, min_size)
 
-    keep = jax.vmap(lambda bx, sc, vl: nms_mask(bx, sc, vl, nms_thresh))(
-        boxes, top_scores, valid
-    )
+    keep = batched_nms(boxes, top_scores, valid, nms_thresh)
     masked = jnp.where(keep, top_scores, NEG_INF)
     sel_scores, sel = jax.lax.top_k(masked, min(post_nms_top_n, k_pre))
     out_valid = sel_scores > NEG_INF / 2

@@ -79,6 +79,24 @@ def batched_nms_mask(boxes, scores, valid, iou_threshold):
     )
 
 
+def _use_pallas():
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon")
+
+
+def batched_nms(boxes, scores, valid, iou_threshold):
+    """Backend dispatcher: blocked Pallas kernel on TPU, lax fallback
+    elsewhere. Same contract as batched_nms_mask."""
+    if _use_pallas():
+        from .pallas.nms_kernel import nms_mask_pallas
+
+        return nms_mask_pallas(boxes, scores, valid, iou_threshold)
+    return batched_nms_mask(boxes, scores, valid, iou_threshold)
+
+
 def multiclass_nms_mask(boxes, scores, labels, valid, iou_threshold):
     """Per-class NMS without a per-class loop: offset boxes by label so
     different classes never overlap (the standard batched-NMS trick; the

@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from maskrcnn_tpu.data.samplers import (
+    BatchSampler,
+    DistributedSampler,
+    GroupedBatchSampler,
+    IterationBasedBatchSampler,
+    RandomSampler,
+    SequentialSampler,
+)
+from maskrcnn_tpu.solver import warmup_multistep_schedule
+from maskrcnn_tpu.utils.metric_logger import MetricLogger, SmoothedValue
+
+
+class FakeDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+
+def test_distributed_sampler_partitions():
+    ds = FakeDataset(10)
+    all_idx = []
+    for rank in range(3):
+        s = DistributedSampler(ds, num_replicas=3, rank=rank, shuffle=False)
+        idx = list(s)
+        assert len(idx) == 4  # ceil(10/3) with padding
+        all_idx.extend(idx)
+    assert set(all_idx) == set(range(10))
+
+
+def test_distributed_sampler_epoch_shuffle():
+    ds = FakeDataset(20)
+    s = DistributedSampler(ds, 1, 0, shuffle=True)
+    s.set_epoch(0)
+    a = list(s)
+    s.set_epoch(1)
+    b = list(s)
+    assert a != b and sorted(a) == sorted(b)
+
+
+def test_grouped_batch_sampler_groups():
+    ds = FakeDataset(10)
+    group_ids = [0, 1, 0, 1, 0, 1, 0, 1, 0, 1]
+    sampler = SequentialSampler(ds)
+    gbs = GroupedBatchSampler(sampler, group_ids, batch_size=2)
+    batches = list(gbs)
+    for b in batches:
+        gs = {group_ids[i] for i in b}
+        assert len(gs) == 1  # batches never mix groups
+    flat = sorted(i for b in batches for i in b)
+    assert flat == list(range(10))
+
+
+def test_iteration_based_sampler_length_and_resume():
+    ds = FakeDataset(6)
+    bs = BatchSampler(RandomSampler(ds), 2, drop_last=False)
+    it = IterationBasedBatchSampler(bs, num_iterations=10, start_iter=0)
+    batches = list(it)
+    assert len(batches) == 10
+    it2 = IterationBasedBatchSampler(bs, num_iterations=10, start_iter=7)
+    assert len(list(it2)) == 3
+
+
+def test_smoothed_value_and_logger():
+    v = SmoothedValue(window_size=3)
+    for x in [1, 2, 3, 4]:
+        v.update(x)
+    assert v.median == 3
+    assert v.global_avg == 2.5
+    ml = MetricLogger()
+    ml.update(loss=1.0, acc=0.5)
+    assert "loss" in str(ml)
+
+
+def test_warmup_multistep_schedule():
+    from maskrcnn_tpu.config import cfg
+
+    c = cfg.clone()
+    c.SOLVER.BASE_LR = 0.02
+    c.SOLVER.WARMUP_ITERS = 500
+    c.SOLVER.WARMUP_FACTOR = 1.0 / 3
+    c.SOLVER.STEPS = (60000, 80000)
+    c.SOLVER.GAMMA = 0.1
+    sched = warmup_multistep_schedule(c)
+    assert abs(float(sched(0)) - 0.02 / 3) < 1e-6
+    assert abs(float(sched(500)) - 0.02) < 1e-6
+    assert abs(float(sched(250)) - 0.02 * (1 / 3 + (1 - 1 / 3) * 0.5)) < 1e-6
+    assert abs(float(sched(70000)) - 0.002) < 1e-7
+    assert abs(float(sched(85000)) - 0.0002) < 1e-8
