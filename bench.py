@@ -57,15 +57,18 @@ def main():
     step = make_train_step(model, tx, mesh=None, donate=True)
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile (host fetch forces completion; block_until_ready
+    # under-reports through the axon tunnel)
     params, opt_state, m = step(params, opt_state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, m = step(params, opt_state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(m["loss"])
+    # the final loss depends on every step's params chain -> fetching it
+    # synchronizes the whole run
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     img_per_sec = b / dt
 

@@ -8,6 +8,7 @@ already-psum'd metrics.
 """
 
 import datetime
+import os
 import logging
 import time
 
@@ -44,6 +45,11 @@ def do_train(
 
     train_step = make_train_step(model, tx, mesh)
 
+    # optional device profiling (reference had only wall-clock meters,
+    # SURVEY.md §5.1; here a real jax.profiler trace can be captured)
+    profile_dir = os.environ.get("MASKRCNN_TPU_PROFILE_DIR")
+    profile_at = int(os.environ.get("MASKRCNN_TPU_PROFILE_AT", "50"))
+
     start_training_time = time.time()
     end = time.time()
     iteration = start_iter
@@ -63,9 +69,15 @@ def do_train(
 
         step_rng = jax.random.fold_in(rng, iteration)
         device_batch = _to_device(batch, mesh)
+        if profile_dir and iteration == profile_at:
+            jax.profiler.start_trace(profile_dir)
         params, opt_state, metrics = train_step(
             params, opt_state, device_batch, step_rng
         )
+        if profile_dir and iteration == profile_at + 5:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to {}".format(profile_dir))
 
         batch_time = time.time() - end
         end = time.time()

@@ -80,6 +80,13 @@ def batched_nms_mask(boxes, scores, valid, iou_threshold):
 
 
 def _use_pallas():
+    import os
+
+    backend = os.environ.get("MASKRCNN_TPU_NMS_BACKEND", "auto")
+    if backend == "lax":
+        return False
+    if backend == "pallas":
+        return True
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover

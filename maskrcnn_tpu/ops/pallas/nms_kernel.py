@@ -5,16 +5,15 @@ structure of the reference CUDA kernel (csrc/cuda/nms.cu:23-131) recast for
 TPU: boxes arrive score-sorted; the grid walks 128-box blocks sequentially
 (TPU grid order is sequential, giving the serial dependency for free); each
 step resolves in-block suppression with a 128-step scalar loop over a
-precomputed 128x128 IoU tile, then suppresses ALL later boxes in one
-vectorized [128, N] VPU pass. Total scalar work is N tiny steps instead of
-N full-width passes; everything lives in VMEM.
+lane-flattened IoU tile, then suppresses ALL later boxes in one vectorized
+[LANES, 128, N] VPU pass. LANES independent problems (batch x level x
+class) are carried per grid step on the sublane axis, so the serial loop
+cost is amortized across lanes.
 
-Layout notes (mosaic constraints): boxes are carried coordinate-major
-[G, 4, N] so every read is a full-lane row (lane-strided column gathers
-don't lower); the scalar "is box i alive" check is a masked reduction.
-
-A leading lanes dimension batches independent NMS problems
-(batch x level x class) through the same grid.
+Mosaic-dictated layout choices: boxes are coordinate-major [G, 4, N] (lane-
+strided column gathers don't lower); the in-block IoU tile lives
+row-flattened on the lane axis (dynamic sublane slicing is unreliable);
+suppression uses float max(kept*iou) (1D bool reshapes don't lower).
 """
 
 import functools
@@ -25,93 +24,101 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128
+LANES = 8
+MAX_SWEEP_CHUNK = 512  # suppression sweep column tile ([LANES, BLOCK, C] f32)
 TO_REMOVE = 1.0
 
 
-def _iou_tile(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
-    """Coordinate vectors a:[T], b:[M] -> IoU [T, M] (+1 convention)."""
-    area_a = (ax2 - ax1 + TO_REMOVE) * (ay2 - ay1 + TO_REMOVE)
-    area_b = (bx2 - bx1 + TO_REMOVE) * (by2 - by1 + TO_REMOVE)
-    lt_x = jnp.maximum(ax1[:, None], bx1[None, :])
-    lt_y = jnp.maximum(ay1[:, None], by1[None, :])
-    rb_x = jnp.minimum(ax2[:, None], bx2[None, :])
-    rb_y = jnp.minimum(ay2[:, None], by2[None, :])
-    iw = jnp.maximum(rb_x - lt_x + TO_REMOVE, 0.0)
-    ih = jnp.maximum(rb_y - lt_y + TO_REMOVE, 0.0)
-    inter = iw * ih
-    union = area_a[:, None] + area_b[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
-
-
 def _nms_kernel(boxes_ref, keep_in_ref, keep_ref, iou_scratch, kb_scratch,
-                *, n, thresh):
+                *, n, thresh, chunk):
     bi = pl.program_id(1)
     start = pl.multiple_of(bi * BLOCK, BLOCK)
 
     # initialize the output block from the validity mask on the first step
-    # of each lane (the VMEM out block revisits across bi steps; it is NOT
-    # preloaded from HBM on hardware)
+    # of each lane group (the VMEM out block revisits across bi steps; it
+    # is NOT preloaded from HBM on hardware)
     @pl.when(bi == 0)
     def _():
-        keep_ref[0, 0, :] = keep_in_ref[0, 0, :]
+        keep_ref[:, :] = keep_in_ref[:, :]
 
-    x1 = boxes_ref[0, 0, :]
-    y1 = boxes_ref[0, 1, :]
-    x2 = boxes_ref[0, 2, :]
-    y2 = boxes_ref[0, 3, :]
-    bx1 = boxes_ref[0, 0, pl.ds(start, BLOCK)]
-    by1 = boxes_ref[0, 1, pl.ds(start, BLOCK)]
-    bx2 = boxes_ref[0, 2, pl.ds(start, BLOCK)]
-    by2 = boxes_ref[0, 3, pl.ds(start, BLOCK)]
+    bx1 = boxes_ref[:, 0, pl.ds(start, BLOCK)]  # [L, T]
+    by1 = boxes_ref[:, 1, pl.ds(start, BLOCK)]
+    bx2 = boxes_ref[:, 2, pl.ds(start, BLOCK)]
+    by2 = boxes_ref[:, 3, pl.ds(start, BLOCK)]
 
-    # The in-block IoU tile is stored row-flattened on the LANE axis so the
-    # scalar loop can read row i with an aligned lane-dim dynamic slice
-    # (dynamic sublane slicing is unreliable in mosaic).
-    tile = _iou_tile(bx1, by1, bx2, by2, bx1, by1, bx2, by2)
-    iou_scratch[0, :] = tile.reshape(1, BLOCK * BLOCK)[0]
-    kb_scratch[0, :] = keep_ref[0, 0, pl.ds(start, BLOCK)]
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (BLOCK,), 0)
+    def iou(ax1, ay1, ax2, ay2, bx1_, by1_, bx2_, by2_):
+        # a: [L, T] -> [L, T, 1]; b: [L, M] -> [L, 1, M]
+        area_a = (ax2 - ax1 + TO_REMOVE) * (ay2 - ay1 + TO_REMOVE)
+        area_b = (bx2_ - bx1_ + TO_REMOVE) * (by2_ - by1_ + TO_REMOVE)
+        lt_x = jnp.maximum(ax1[:, :, None], bx1_[:, None, :])
+        lt_y = jnp.maximum(ay1[:, :, None], by1_[:, None, :])
+        rb_x = jnp.minimum(ax2[:, :, None], bx2_[:, None, :])
+        rb_y = jnp.minimum(ay2[:, :, None], by2_[:, None, :])
+        iw = jnp.maximum(rb_x - lt_x + TO_REMOVE, 0.0)
+        ih = jnp.maximum(rb_y - lt_y + TO_REMOVE, 0.0)
+        inter = iw * ih
+        union = area_a[:, :, None] + area_b[:, None, :] - inter
+        return jnp.where(union > 0, inter / union, 0.0)
+
+    tile = iou(bx1, by1, bx2, by2, bx1, by1, bx2, by2)  # [L, T, T]
+    iou_scratch[:, :] = tile.reshape(LANES, BLOCK * BLOCK)
+    kb_scratch[:, :] = keep_ref[:, pl.ds(start, BLOCK)]  # [L, T]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, BLOCK), 1)
 
     def body(i, _):
-        kb = kb_scratch[0, :]
-        alive = jnp.max(jnp.where(row_idx == i, kb, 0)) > 0
-        row = iou_scratch[0, pl.ds(pl.multiple_of(i * BLOCK, BLOCK), BLOCK)]
-        sup = alive & (row_idx > i) & (row > thresh)
-        kb_scratch[0, :] = jnp.where(sup, 0, kb)
+        kb = kb_scratch[:, :]  # [L, T]
+        alive = jnp.max(jnp.where(row_idx == i, kb, 0), axis=1, keepdims=True)
+        row = iou_scratch[:, pl.ds(pl.multiple_of(i * BLOCK, BLOCK), BLOCK)]
+        sup = (alive > 0) & (row_idx > i) & (row > thresh)
+        kb_scratch[:, :] = jnp.where(sup, 0, kb)
         return 0
 
     jax.lax.fori_loop(0, BLOCK, body, 0)
-    keep_blk = kb_scratch[0, :]
-    keep_ref[0, 0, pl.ds(start, BLOCK)] = keep_blk
+    keep_blk = kb_scratch[:, :]
+    keep_ref[:, pl.ds(start, BLOCK)] = keep_blk
 
-    # vectorized suppression of every later box by this block's survivors.
-    # float arithmetic (max of kept*iou) avoids 1D-bool reshapes that
-    # mosaic cannot lower: iou >= 0 and kept in {0,1}.
-    iou_all = _iou_tile(bx1, by1, bx2, by2, x1, y1, x2, y2)  # [T, N]
-    keptf = keep_blk.astype(jnp.float32)[:, None]
-    sup_any = jnp.max(keptf * iou_all, axis=0) > thresh  # [N]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    later = pos >= start + BLOCK
-    cur = keep_ref[0, 0, :]
-    keep_ref[0, 0, :] = jnp.where(later & sup_any, 0, cur)
+    # vectorized suppression of every later box by this block's survivors,
+    # in column chunks to bound VMEM ([L, T, CHUNK] tiles). float arithmetic
+    # (max of kept*iou) avoids 1D-bool reshapes.
+    keptf = keep_blk.astype(jnp.float32)[:, :, None]
+    chunk_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, chunk), 1)
+
+    def sweep(ci, _):
+        off = pl.multiple_of(ci * chunk, chunk)
+        cx1 = boxes_ref[:, 0, pl.ds(off, chunk)]
+        cy1 = boxes_ref[:, 1, pl.ds(off, chunk)]
+        cx2 = boxes_ref[:, 2, pl.ds(off, chunk)]
+        cy2 = boxes_ref[:, 3, pl.ds(off, chunk)]
+        iou_c = iou(bx1, by1, bx2, by2, cx1, cy1, cx2, cy2)  # [L, T, C]
+        sup_any = jnp.max(keptf * iou_c, axis=1) > thresh  # [L, C]
+        later = (chunk_idx + off) >= start + BLOCK
+        cur = keep_ref[:, pl.ds(off, chunk)]
+        keep_ref[:, pl.ds(off, chunk)] = jnp.where(later & sup_any, 0, cur)
+        return 0
+
+    jax.lax.fori_loop(0, n // chunk, sweep, 0)
 
 
 def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
     """Greedy NMS on score-sorted boxes.
 
     boxes: [G, N, 4] (descending score order per lane), valid: [G, N] bool.
-    Returns keep [G, N] bool. N is padded to a BLOCK multiple internally.
+    Returns keep [G, N] bool. N is padded to a BLOCK multiple and G to a
+    LANES multiple internally.
     """
     g, n, _ = boxes.shape
     n_pad = -(-n // BLOCK) * BLOCK
-    if n_pad != n:
-        boxes = jnp.pad(boxes, ((0, 0), (0, n_pad - n), (0, 0)))
-        valid = jnp.pad(valid, ((0, 0), (0, n_pad - n)))
+    chunk = min(MAX_SWEEP_CHUNK, n_pad)
+    n_pad = -(-n_pad // chunk) * chunk  # chunk must divide the padded width
+    g_pad = -(-g // LANES) * LANES
+    if n_pad != n or g_pad != g:
+        boxes = jnp.pad(boxes, ((0, g_pad - g), (0, n_pad - n), (0, 0)))
+        valid = jnp.pad(valid, ((0, g_pad - g), (0, n_pad - n)))
     nb = n_pad // BLOCK
 
     # Padded/invalid rows get far-away dummy boxes so IoU math stays clean
     # (they can never suppress anything: their keep starts at 0).
-    lane = jax.lax.broadcasted_iota(jnp.float32, (g, n_pad, 1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (g_pad, n_pad, 1), 1)
     dummy = jnp.concatenate(
         [-1e8 + lane * 10.0, -1e8 + lane * 10.0, -1e8 + lane * 10.0 + 1.0,
          -1e8 + lane * 10.0 + 1.0], axis=-1
@@ -119,27 +126,29 @@ def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
     boxes = jnp.where(valid[..., None], boxes, dummy)
     boxes_t = jnp.swapaxes(boxes.astype(jnp.float32), 1, 2)  # [G, 4, N]
 
-    kernel = functools.partial(_nms_kernel, n=n_pad, thresh=float(iou_threshold))
-    keep0 = valid.astype(jnp.int32)[:, None, :]  # [G, 1, N] for TPU tiling
+    kernel = functools.partial(
+        _nms_kernel, n=n_pad, thresh=float(iou_threshold), chunk=chunk
+    )
+    keep0 = valid.astype(jnp.int32)
     keep = pl.pallas_call(
         kernel,
-        grid=(g, nb),
+        grid=(g_pad // LANES, nb),
         in_specs=[
-            pl.BlockSpec((1, 4, n_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((LANES, 4, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((LANES, n_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((LANES, n_pad), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 1, n_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((1, BLOCK * BLOCK), jnp.float32),
-            pltpu.VMEM((1, BLOCK), jnp.int32),
+            pltpu.VMEM((LANES, BLOCK * BLOCK), jnp.float32),
+            pltpu.VMEM((LANES, BLOCK), jnp.int32),
         ],
         interpret=interpret,
     )(boxes_t, keep0)
-    return (keep[:, 0] > 0)[:, :n]
+    return (keep > 0)[:g, :n]
 
 
 def nms_mask_pallas(boxes, scores, valid, iou_threshold, interpret=False):

@@ -66,6 +66,7 @@ CONFIGS = [
     "e2e_keypoint_rcnn_R_50_FPN_1x.yaml",
     "retinanet/retinanet_R-50-FPN_1x.yaml",
     "rpn_R_50_FPN_1x.yaml",
+    "gn_baselines/e2e_mask_rcnn_R_50_FPN_1x_gn.yaml",
 ]
 
 

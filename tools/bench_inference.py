@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Inference latency benchmark: Mask R-CNN R-50-FPN, batch 1, 800x1344.
+
+Reference single-V100 number: 0.12966 s/im (+0.034 mask paste on host)
+(MODEL_ZOO.md:26). Run: python tools/bench_inference.py [BATCH]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+BASELINE_S_PER_IM = 0.12966
+
+
+def main():
+    from __graft_entry__ import _flagship_cfg
+    from maskrcnn_tpu.models import build_detection_model
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    c = _flagship_cfg(tiny=False)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+
+    h, w = 800, 1344
+    rs = np.random.RandomState(0)
+    batch = dict(
+        images=jax.numpy.asarray(rs.randn(b, h, w, 3), jax.numpy.float32),
+        image_sizes=jax.numpy.asarray([[800, 1333]] * b, jax.numpy.int32),
+    )
+    infer = jax.jit(model.infer_forward)
+    det = infer(params, batch)
+    np.asarray(det["scores"])
+
+    # fresh input each step + host fetch of the result: end-to-end latency
+    # incl. transfers (block_until_ready under-reports on the axon tunnel)
+    inputs = [
+        jax.numpy.asarray(rs.randn(b, h, w, 3), jax.numpy.float32)
+        for _ in range(4)
+    ]
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        det = infer(params, dict(images=inputs[i % 4],
+                                 image_sizes=batch["image_sizes"]))
+        np.asarray(det["scores"])
+    dt = (time.perf_counter() - t0) / iters
+    s_per_im = dt / b
+    print(
+        "batch={} {:.2f} ms/step  {:.4f} s/im  speedup vs V100: {:.2f}x".format(
+            b, dt * 1000, s_per_im, BASELINE_S_PER_IM / s_per_im
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,12 @@ from maskrcnn_tpu.utils.miscellaneous import mkdir, save_config
 def train(cfg, output_dir, distributed):
     model = build_detection_model(cfg)
     mesh = create_mesh(cfg)
+    n_data = mesh.shape["data"]
+    if cfg.SOLVER.IMS_PER_BATCH % n_data != 0:
+        raise ValueError(
+            "SOLVER.IMS_PER_BATCH ({}) must be divisible by the data-parallel "
+            "mesh size ({})".format(cfg.SOLVER.IMS_PER_BATCH, n_data)
+        )
 
     rng = jax.random.PRNGKey(0)
     params = model.init(rng)
@@ -59,10 +65,23 @@ def train(cfg, output_dir, distributed):
     )
 
     test_period = cfg.SOLVER.TEST_PERIOD
+    run_validation = None
+    if test_period > 0 and cfg.DATASETS.TEST:
+        val_loaders = make_data_loader(cfg, is_train=False, is_distributed=distributed)
+
+        def run_validation(val_params, iteration):
+            for name, loader in zip(cfg.DATASETS.TEST, val_loaders):
+                inference(
+                    model, val_params, loader, dataset_name=name,
+                    iou_types=("bbox",), box_only=cfg.MODEL.RPN_ONLY,
+                    output_folder=None,
+                )
+                comm.synchronize()
+
     params, opt_state = do_train(
         model, tx, schedule, params, opt_state, data_loader, checkpointer,
         cfg.SOLVER.CHECKPOINT_PERIOD, arguments, mesh=mesh,
-        test_period=test_period,
+        test_period=test_period, run_validation=run_validation,
     )
     return model, params
 
