@@ -283,3 +283,6 @@ _C.TPU.IMAGE_BUCKETS = ()
 # Device mesh axis names and sizes; -1 = use all devices on the data axis.
 _C.TPU.MESH_AXES = ("data",)
 _C.TPU.MESH_SHAPE = (-1,)
+# ROI pooler backend: "auto" (Pallas patch-DMA kernel on TPU inference,
+# gather elsewhere), "gather", or "pallas".
+_C.TPU.POOLER_BACKEND = "auto"

@@ -97,6 +97,7 @@ class GeneralizedRCNN:
         self.num_pos_rois = int(
             hcfg.BATCH_SIZE_PER_IMAGE * hcfg.POSITIVE_FRACTION
         )
+        self.pooler_backend_cfg = getattr(cfg.TPU, "POOLER_BACKEND", "auto")
 
     # -- init ---------------------------------------------------------------
 
@@ -163,11 +164,23 @@ class GeneralizedRCNN:
     def _box_features(self, features):
         return features[: len(self.box_pooler.scales)]
 
-    def _run_mask_extractor(self, params, features, boxes, batch_idx):
+    def _infer_pooler_backend(self, num_levels):
+        """Pallas patch-DMA pooler on TPU inference (multi-level only);
+        training keeps the gather pooler (autodiff backward)."""
+        if self.pooler_backend_cfg == "gather" or num_levels <= 1:
+            return "gather"
+        if self.pooler_backend_cfg == "pallas":
+            return "pallas"
+        from ..ops.nms import _use_pallas
+
+        return "pallas" if _use_pallas() else "gather"
+
+    def _run_mask_extractor(self, params, features, boxes, batch_idx,
+                            pooler_backend="gather"):
         if self.share_mask_fe:
             x = multilevel_roi_align(
                 self._box_features(features), boxes, batch_idx, self.box_pooler,
-                self.compute_dtype,
+                self.compute_dtype, backend=pooler_backend,
             )
             x = bh.apply_box_feature_extractor(
                 params["roi_heads"]["box"]["feature_extractor"], x, self.cfg,
@@ -176,7 +189,7 @@ class GeneralizedRCNN:
             return x
         x = multilevel_roi_align(
             features[: len(self.mask_pooler.scales)], boxes, batch_idx,
-            self.mask_pooler, self.compute_dtype,
+            self.mask_pooler, self.compute_dtype, backend=pooler_backend,
         )
         return mh.apply_mask_feature_extractor(
             params["roi_heads"]["mask"]["feature_extractor"], x, self.cfg,
@@ -349,9 +362,11 @@ class GeneralizedRCNN:
             )
 
         rois_flat, batch_idx = _flatten_rois(prop_boxes)
+        pb = self._infer_pooler_backend(len(self.box_pooler.scales))
         class_logits, box_regression, _ = bh.run_box_head(
             params["roi_heads"]["box"], self._box_features(features),
             rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
+            pooler_backend=pb,
         )
         b, n = prop_scores.shape
         c = class_logits.shape[-1]
@@ -368,7 +383,8 @@ class GeneralizedRCNN:
 
         if self.mask_on:
             det_flat, det_batch = _flatten_rois(detections["boxes"])
-            x = self._run_mask_extractor(params, features, det_flat, det_batch)
+            x = self._run_mask_extractor(params, features, det_flat, det_batch,
+                                         pooler_backend=pb)
             mask_logits = mh.apply_mask_predictor(
                 params["roi_heads"]["mask"]["predictor"], x, cfg, self.compute_dtype
             )  # [B*D, M, M, C]
@@ -389,6 +405,7 @@ class GeneralizedRCNN:
                 params["roi_heads"]["keypoint"],
                 features[: len(self.kp_pooler.scales)],
                 det_flat, det_batch, self.kp_pooler, cfg, self.compute_dtype,
+                pooler_backend=pb,
             )
             kps = kh.heatmaps_to_keypoints(kp_logits, det_flat)  # [B*D, K, 4]
             d = detections["boxes"].shape[1]
@@ -397,7 +414,11 @@ class GeneralizedRCNN:
 
 
 def build_detection_model(cfg):
+    from .registry import META_ARCHITECTURES
+
     meta = cfg.MODEL.META_ARCHITECTURE
+    if meta in META_ARCHITECTURES:
+        return META_ARCHITECTURES[meta](cfg)
     if meta != "GeneralizedRCNN":
         raise ValueError("Unknown META_ARCHITECTURE {}".format(meta))
     return GeneralizedRCNN(cfg)

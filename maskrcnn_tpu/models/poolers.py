@@ -46,8 +46,14 @@ def assign_levels(boxes, pcfg):
     return (target - pcfg.k_min).astype(jnp.int32)
 
 
-def multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype=jnp.bfloat16):
+def multilevel_roi_align(features, boxes, batch_idx, pcfg,
+                         compute_dtype=jnp.bfloat16, backend="gather"):
     """Pool each ROI from its assigned pyramid level.
+
+    backend: "gather" (exact, XLA row-gather; autodiff supplies backward) or
+    "pallas" (patch-DMA + MXU matmuls kernel, ~3x faster forward; clamps
+    samples of >32-cell pathological-aspect ROIs to the patch border —
+    used on the inference path).
 
     Args:
       features: list of [B, Hl, Wl, C] arrays, one per scale in pcfg.scales
@@ -59,6 +65,12 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype=jnp.bfl
     Returns [R, ph, pw, C].
     """
     assert len(features) == len(pcfg.scales)
+    if backend == "pallas":
+        from ..ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
+
+        return multilevel_roi_align_pallas(
+            features, boxes, batch_idx, pcfg, compute_dtype
+        )
     ph, pw = pcfg.output_size
     s = pcfg.sampling_ratio
     b = features[0].shape[0]

@@ -286,12 +286,14 @@ def init_box_head(key, cfg, in_channels):
 
 
 def run_box_head(
-    params, features, boxes, batch_idx, pcfg, cfg, compute_dtype=jnp.bfloat16
+    params, features, boxes, batch_idx, pcfg, cfg, compute_dtype=jnp.bfloat16,
+    pooler_backend="gather",
 ):
     """Pool + extract + predict for a flat ROI batch.
     boxes [R, 4], batch_idx [R]. Returns (class_logits [R, C],
     box_regression [R, 4C], roi_features [R, ...])."""
-    x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype)
+    x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype,
+                             backend=pooler_backend)
     feats = apply_box_feature_extractor(
         params["feature_extractor"], x, cfg, compute_dtype
     )

@@ -62,8 +62,10 @@ def init_keypoint_head(key, cfg, in_channels):
     return {"feature_extractor": fe, "predictor": pred}
 
 
-def run_keypoint_head(params, features, boxes, batch_idx, pcfg, cfg, compute_dtype=jnp.bfloat16):
-    x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype)
+def run_keypoint_head(params, features, boxes, batch_idx, pcfg, cfg,
+                      compute_dtype=jnp.bfloat16, pooler_backend="gather"):
+    x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype,
+                             backend=pooler_backend)
     x = apply_keypoint_feature_extractor(params["feature_extractor"], x, compute_dtype)
     return apply_keypoint_predictor(params["predictor"], x, compute_dtype)
 

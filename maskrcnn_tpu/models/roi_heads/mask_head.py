@@ -106,9 +106,11 @@ def init_mask_head(key, cfg, in_channels):
     return {"feature_extractor": fe, "predictor": pred}
 
 
-def run_mask_head(params, features, boxes, batch_idx, pcfg, cfg, compute_dtype=jnp.bfloat16):
+def run_mask_head(params, features, boxes, batch_idx, pcfg, cfg,
+                  compute_dtype=jnp.bfloat16, pooler_backend="gather"):
     """boxes [R, 4] -> mask logits [R, M, M, num_classes]."""
-    x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype)
+    x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype,
+                             backend=pooler_backend)
     x = apply_mask_feature_extractor(params["feature_extractor"], x, cfg, compute_dtype)
     return apply_mask_predictor(params["predictor"], x, cfg, compute_dtype)
 
