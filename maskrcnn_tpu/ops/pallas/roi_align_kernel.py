@@ -107,6 +107,10 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
 
     ph, pw = pcfg.output_size
     assert ph == pw, "square pooling only"
+    assert features[0].shape[-1] % 128 == 0, (
+        "pallas pooler needs channels %% 128 == 0 (mosaic reshape tiling); "
+        "use the gather backend otherwise"
+    )
     p = ph
     s = pcfg.sampling_ratio
     ps = p * s
@@ -197,3 +201,176 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
         interpret=interpret,
     )(lvl, batch_idx.astype(jnp.int32), y0, x0, roww, colw, *feats)
     return out.astype(compute_dtype)
+
+
+# -- backward (training): sequential-grid scatter-accumulate --------------------
+
+
+def _bwd_kernel(lvl_ref, b_ref, y0_ref, x0_ref, roww_ref, da_ref,
+                *rest, num_levels, p, c):
+    """Accumulate dPatch = RowW^T @ dA into the per-level gradient buffers.
+    dA (the column-unmixed cotangent) is precomputed in jnp outside; the TPU
+    grid is sequential, so overlapping ROI windows accumulate without
+    races."""
+    zin_refs = rest[:num_levels]              # aliased zero-init inputs
+    grad_refs = rest[num_levels:2 * num_levels]  # outputs (aliased)
+    acc_ref, sem = rest[2 * num_levels:]
+    del zin_refs  # same memory as grad_refs via input_output_aliases
+
+    r = pl.program_id(0)
+    lvl = lvl_ref[r]
+    b = b_ref[r]
+    y0 = y0_ref[r]
+    x0 = pl.multiple_of(x0_ref[r], 8)
+
+    # dPatch = RowW^T @ dA  (contract the P dim of both; avoids transpose)
+    roww = roww_ref[0]  # [P, PATCH]
+    da = da_ref[0].astype(jnp.float32).reshape(p, PATCH_W * c)
+    dpatch = jax.lax.dot_general(
+        roww, da,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(PATCH, PATCH_W, c)
+
+    for k in range(num_levels):
+        @pl.when(lvl == k)
+        def _():
+            region = grad_refs[k].at[b, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :]
+            cp_in = pltpu.make_async_copy(region, acc_ref, sem)
+            cp_in.start()
+            cp_in.wait()
+            acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
+            cp_out = pltpu.make_async_copy(acc_ref, region, sem)
+            cp_out.start()
+            cp_out.wait()
+
+
+def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout):
+    lvl, bidx, y0, x0, roww, colw = residuals
+    c = shapes[0][-1]
+    r = dout.shape[0]
+    zeros = [jnp.zeros(s, jnp.float32) for s in shapes]
+    # column-unmix the cotangent outside the kernel (batched matmul):
+    # dA[r, pr, px, ch] = sum_q colw[r, q, px] * dout[r, pr, q, ch]
+    da = jnp.einsum(
+        "rqp,rsqc->rspc", colw.astype(jnp.float32), dout.astype(jnp.float32)
+    )
+
+    kernel = functools.partial(_bwd_kernel, num_levels=num_levels, p=p, c=c)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, p, PATCH), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, PATCH_W, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PATCH, PATCH_W, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes),
+        input_output_aliases={
+            6 + i: i for i in range(num_levels)  # 4 prefetch + 2 vector ins
+        },
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lvl, bidx, y0, x0, roww, da, *zeros)
+    return grads
+
+
+def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16):
+    """Returns fn(features_tuple, boxes, batch_idx) -> pooled, with a Pallas
+    forward and a Pallas scatter-accumulate backward (grads w.r.t. features;
+    boxes/batch_idx are treated as non-differentiable)."""
+
+    @jax.custom_vjp
+    def fn(features, boxes, batch_idx):
+        return multilevel_roi_align_pallas(
+            list(features), boxes, batch_idx, pcfg, compute_dtype
+        )
+
+    def fwd(features, boxes, batch_idx):
+        out, res = _fwd_with_residuals(features, boxes, batch_idx)
+        return out, (res, tuple(f.shape for f in features), boxes, batch_idx)
+
+    def _fwd_with_residuals(features, boxes, batch_idx):
+        # re-run the jnp precompute to capture residuals (cheap; XLA CSEs it
+        # with the forward kernel's own precompute)
+        out = multilevel_roi_align_pallas(
+            list(features), boxes, batch_idx, pcfg, compute_dtype
+        )
+        res = _precompute(list(features), boxes, batch_idx, pcfg)
+        return out, res
+
+    def bwd(saved, dout):
+        res, shapes, boxes, batch_idx = saved
+        p = pcfg.output_size[0]
+        # grads are for the PADDED maps; slice back to true shapes
+        padded_shapes = tuple(
+            (s[0], max(s[1], PATCH), max(s[2], PATCH_W), s[3]) for s in shapes
+        )
+        grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res, dout)
+        import numpy as _np
+
+        dfeats = tuple(
+            g[:, : s[1], : s[2], :].astype(compute_dtype)
+            for g, s in zip(grads, shapes)
+        )
+        zero_b = _np.zeros(boxes.shape, dtype=jax.dtypes.float0)
+        zero_i = _np.zeros(batch_idx.shape, dtype=jax.dtypes.float0)
+        return (dfeats, zero_b, zero_i)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def _precompute(features, boxes, batch_idx, pcfg):
+    """The (lvl, b, y0, x0, roww, colw) tuple the kernels consume."""
+    from ...models.poolers import assign_levels
+
+    p = pcfg.output_size[0]
+    s = pcfg.sampling_ratio
+    ps = p * s
+    num_levels = len(features)
+
+    hs = jnp.asarray([max(f.shape[1], PATCH) for f in features], jnp.int32)
+    ws = jnp.asarray([max(f.shape[2], PATCH_W) for f in features], jnp.int32)
+    true_hs = jnp.asarray([f.shape[1] for f in features], jnp.int32)
+    true_ws = jnp.asarray([f.shape[2] for f in features], jnp.int32)
+    scales = jnp.asarray(pcfg.scales, jnp.float32)
+
+    if num_levels == 1:
+        lvl = jnp.zeros((boxes.shape[0],), jnp.int32)
+    else:
+        lvl = assign_levels(boxes, pcfg)
+    scale = scales[lvl]
+    h_l = true_hs[lvl].astype(jnp.float32)
+    w_l = true_ws[lvl].astype(jnp.float32)
+
+    rois = boxes.astype(jnp.float32) * scale[:, None]
+    rw = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    bin_w = rw / p
+    bin_h = rh / p
+    iy = (jnp.arange(ps) // s).astype(jnp.float32)
+    sy = (jnp.arange(ps) % s).astype(jnp.float32)
+    ys = rois[:, 1:2] + iy[None] * bin_h[:, None] + (sy[None] + 0.5) * (bin_h[:, None] / s)
+    xs = rois[:, 0:1] + iy[None] * bin_w[:, None] + (sy[None] + 0.5) * (bin_w[:, None] / s)
+    ymask = (ys >= -1.0) & (ys <= h_l[:, None])
+    xmask = (xs >= -1.0) & (xs <= w_l[:, None])
+    ys = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
+    xs = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
+    y0 = jnp.clip(jnp.floor(ys.min(axis=1)).astype(jnp.int32), 0, hs[lvl] - PATCH)
+    x0 = jnp.clip((jnp.floor(xs.min(axis=1)).astype(jnp.int32) // 8) * 8,
+                  0, ws[lvl] - PATCH_W)
+    roww = _bin_weights(ys - y0[:, None].astype(jnp.float32), ymask, p, s, PATCH)
+    colw = _bin_weights(xs - x0[:, None].astype(jnp.float32), xmask, p, s, PATCH_W)
+    return (lvl, batch_idx.astype(jnp.int32), y0, x0, roww, colw)

@@ -1,0 +1,44 @@
+"""Pallas ROIAlign kernel correctness (interpret mode on CPU; compiled-TPU
+validation lives in tools/bench_kernels.py / the parity scripts)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.models.poolers import PoolerConfig, multilevel_roi_align
+from maskrcnn_tpu.ops.pallas.roi_align_kernel import multilevel_roi_align_pallas
+
+
+def _setup(c=128, r=24):
+    rs = np.random.RandomState(0)
+    feats = [
+        jnp.asarray(rs.randn(2, 64, 80, c), jnp.float32),
+        jnp.asarray(rs.randn(2, 32, 40, c), jnp.float32),
+        jnp.asarray(rs.randn(2, 16, 20, c), jnp.float32),
+        jnp.asarray(rs.randn(2, 8, 10, c), jnp.float32),
+    ]
+    pcfg = PoolerConfig(7, (0.25, 0.125, 0.0625, 0.03125), 2)
+    ctr = rs.uniform(20, 220, (r, 2))
+    wh = rs.uniform(10, 120, (r, 2))
+    rois = jnp.asarray(np.concatenate([ctr - wh / 2, ctr + wh / 2], -1), jnp.float32)
+    bidx = jnp.asarray(rs.randint(0, 2, r), jnp.int32)
+    return feats, pcfg, rois, bidx
+
+
+def test_pallas_pooler_matches_gather_interpret():
+    feats, pcfg, rois, bidx = _setup()
+    ref = multilevel_roi_align(feats, rois, bidx, pcfg, compute_dtype=jnp.float32)
+    got = multilevel_roi_align_pallas(
+        feats, rois, bidx, pcfg, compute_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_pooler_channel_constraint():
+    feats, pcfg, rois, bidx = _setup(c=64)
+    with pytest.raises(AssertionError):
+        multilevel_roi_align_pallas(
+            feats, rois, bidx, pcfg, compute_dtype=jnp.float32, interpret=True
+        )
