@@ -264,11 +264,18 @@ class GeneralizedRCNN:
         )
 
         hcfg = cfg.MODEL.ROI_HEADS
+        gt_usable = None
+        if self.keypoint_on and "gt_keypoints" in batch:
+            # instances with no visible keypoint inside their box are
+            # excluded from sampling (reference keypoint loss.py:98-105)
+            gt_usable = kh.keypoints_within_box_filter(
+                batch["gt_keypoints"].astype(jnp.float32), gt_boxes
+            )
         targets = bh.prepare_box_targets(
             prop_boxes, prop_valid, gt_boxes, gt_labels, rng_box,
             hcfg.FG_IOU_THRESHOLD, hcfg.BG_IOU_THRESHOLD,
             hcfg.BATCH_SIZE_PER_IMAGE, hcfg.POSITIVE_FRACTION,
-            self.box_reg_weights,
+            self.box_reg_weights, gt_usable=gt_usable,
         )
 
         rois_flat, batch_idx = _flatten_rois(targets["rois"])

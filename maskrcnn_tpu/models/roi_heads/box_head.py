@@ -148,6 +148,9 @@ def prepare_box_targets(
     batch_per_image,
     positive_fraction,
     reg_weights,
+    gt_usable=None,  # [B, G] bool: e.g. keypoint models ignore proposals
+                     # matched to instances with no visible keypoint
+                     # (reference keypoint_head/loss.py:98-105)
 ):
     """Match + subsample to a fixed ROI batch.
 
@@ -156,8 +159,10 @@ def prepare_box_targets(
     """
     b = proposals.shape[0]
     keys = jax.random.split(rng, b)
+    if gt_usable is None:
+        gt_usable = jnp.ones(gt_labels.shape, bool)
 
-    def per_image(props, pvalid, gt_b, gt_l, key):
+    def per_image(props, pvalid, gt_b, gt_l, gt_u, key):
         gt_v = gt_l > 0
         iou = box_iou(gt_b, props)
         iou = jnp.where(pvalid[None, :], iou, -1.0)
@@ -168,6 +173,8 @@ def prepare_box_targets(
             jnp.where(matched == -1, 0, -1),
         )
         cls_labels = jnp.where(pvalid, cls_labels, -1)
+        usable = gt_u[jnp.maximum(matched, 0)]
+        cls_labels = jnp.where((matched >= 0) & ~usable, -1, cls_labels)
         idx, valid, is_pos = sample_topk_indices(
             cls_labels, key, batch_per_image, positive_fraction
         )
@@ -178,7 +185,7 @@ def prepare_box_targets(
         return rois, labels, reg_targets, valid, is_pos, mg
 
     rois, labels, reg_targets, valid, is_pos, mg = jax.vmap(per_image)(
-        proposals, prop_valid, gt_boxes, gt_labels, keys
+        proposals, prop_valid, gt_boxes, gt_labels, gt_usable, keys
     )
     return dict(
         rois=rois, labels=labels, reg_targets=reg_targets, valid=valid,

@@ -26,7 +26,7 @@ from maskrcnn_tpu.utils import comm
 from maskrcnn_tpu.utils.checkpoint import DetectronCheckpointer
 from maskrcnn_tpu.utils.collect_env import collect_env_info
 from maskrcnn_tpu.utils.logger import setup_logger
-from maskrcnn_tpu.utils.miscellaneous import mkdir, save_config
+from maskrcnn_tpu.utils.miscellaneous import mkdir, save_config, save_labels
 
 
 def train(cfg, output_dir, distributed):
@@ -63,6 +63,8 @@ def train(cfg, output_dir, distributed):
         cfg, is_train=True, is_distributed=distributed,
         start_iter=arguments["iteration"],
     )
+    if output_dir:
+        save_labels([data_loader.dataset], output_dir)
 
     test_period = cfg.SOLVER.TEST_PERIOD
     run_validation = None
