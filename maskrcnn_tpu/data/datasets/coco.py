@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from ...structures import BoxList, Keypoints, PersonKeypoints, SegmentationMask
+from ...structures import BoxList, PersonKeypoints, SegmentationMask
 
 
 def _has_valid_annotation(anno):

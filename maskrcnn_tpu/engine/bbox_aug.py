@@ -8,7 +8,7 @@ single NMS pass caps them to DETECTIONS_PER_IMG.
 import numpy as np
 
 from ..data.transforms import Compose, Normalize, Resize, ToArray
-from ..structures import BoxList, cat_boxlist
+from ..structures import cat_boxlist
 from ..structures.boxlist import FLIP_LEFT_RIGHT
 from ..structures.boxlist_ops import boxlist_nms
 

@@ -9,7 +9,6 @@ multihost) instead of pickled NCCL tensors.
 import logging
 import os
 import pickle
-import time
 
 import jax
 import numpy as np

@@ -6,10 +6,7 @@ is sharded on the "data" axis; jit's sharding propagation inserts the
 collectives (the DDP allreduce of reference tools/train_net.py:49-54).
 """
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 
 from ..parallel.mesh import data_sharding, replicated
 

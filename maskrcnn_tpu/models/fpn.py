@@ -11,7 +11,6 @@ import jax.numpy as jnp
 
 from .layers import (
     conv2d,
-    get_group_gn,
     group_norm,
     init_conv,
     init_group_norm,

@@ -16,7 +16,6 @@ All functions operate on xyxy float boxes. Box tensors are [..., N, 4].
 """
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 

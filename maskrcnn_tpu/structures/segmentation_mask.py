@@ -18,7 +18,7 @@ Rasterization uses a scanline polygon fill compatible with COCO's frPoly
 
 import numpy as np
 
-from .boxlist import FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM
+from .boxlist import FLIP_LEFT_RIGHT
 
 
 def rasterize_polygons(polygons, height, width):

@@ -12,7 +12,6 @@ so flatten order is stable). Rank-0 writes only.
 """
 
 import os
-import pickle
 
 import jax
 import numpy as np
