@@ -44,6 +44,34 @@ def detections_to_boxlists(det, image_sizes):
     return out
 
 
+def compute_on_dataset_bbox_aug(model, params, data_loader, cfg, timer=None):
+    """Test-time-augmentation path (cfg.TEST.BBOX_AUG.ENABLED): batches are
+    raw PIL images (BBoxAugCollator); multi-scale + flip detection via
+    engine/bbox_aug."""
+    import jax.numpy as jnp
+
+    from .bbox_aug import im_detect_bbox_aug
+
+    infer = jax.jit(model.infer_forward)
+
+    def device_infer(b):
+        return infer(params, {k: jnp.asarray(v) for k, v in b.items()})
+
+    results = {}
+    dataset = data_loader.dataset
+    for batch in data_loader:
+        images, _targets, idxs = batch
+        if timer:
+            timer.tic()
+        boxlists = im_detect_bbox_aug(model, params, list(images), device_infer, cfg)
+        if timer:
+            timer.toc()
+        for bl, idx in zip(boxlists, idxs):
+            info = dataset.get_img_info(int(idx))
+            results[int(idx)] = bl.resize((info["width"], info["height"]))
+    return results
+
+
 def compute_on_dataset(model, params, data_loader, mesh=None, timer=None):
     eval_step = make_eval_step(model, mesh)
     results = {}
@@ -81,6 +109,7 @@ def inference(
     expected_results=(),
     expected_results_sigma_tol=4,
     mesh=None,
+    bbox_aug_cfg=None,
 ):
     logger = logging.getLogger("maskrcnn_tpu.inference")
     dataset = data_loader.dataset
@@ -90,7 +119,12 @@ def inference(
     total_timer = Timer()
     inference_timer = Timer()
     total_timer.tic()
-    predictions = compute_on_dataset(model, params, data_loader, mesh, inference_timer)
+    if bbox_aug_cfg is not None and bbox_aug_cfg.TEST.BBOX_AUG.ENABLED:
+        predictions = compute_on_dataset_bbox_aug(
+            model, params, data_loader, bbox_aug_cfg, inference_timer
+        )
+    else:
+        predictions = compute_on_dataset(model, params, data_loader, mesh, inference_timer)
     comm.synchronize()
     total_time = total_timer.toc()
     logger.info(

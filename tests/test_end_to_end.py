@@ -102,3 +102,48 @@ def test_overfit_loss_decreases(synth):
     first = np.mean(losses[:3])
     last = np.mean(losses[-3:])
     assert last < 0.8 * first, (first, last, losses)
+
+
+def test_tta_inference_path(synth, tmp_path):
+    """inference() with TEST.BBOX_AUG.ENABLED drives the multi-scale/flip
+    path end to end (loader -> bbox_aug -> merge -> COCO eval)."""
+    img_dir, ann_file = synth
+    c = small_cfg()
+    c.TEST.BBOX_AUG.ENABLED = True
+    c.TEST.BBOX_AUG.H_FLIP = True
+    c.TEST.BBOX_AUG.SCALES = ()
+    c.TEST.IMS_PER_BATCH = 2
+    c.DATALOADER.NUM_WORKERS = 0
+    c.freeze()
+
+    catalog = tmp_path / "catalog.py"
+    catalog.write_text(
+        "class DatasetCatalog:\n"
+        "    @staticmethod\n"
+        "    def get(name):\n"
+        "        return dict(factory='COCODataset', args=dict(\n"
+        "            root={!r}, ann_file={!r},\n"
+        "            remove_images_without_annotations=False))\n"
+        "class ModelCatalog:\n"
+        "    @staticmethod\n"
+        "    def get(name):\n"
+        "        raise RuntimeError\n".format(img_dir, ann_file)
+    )
+    c2 = c.clone()
+    c2.PATHS_CATALOG = str(catalog)
+    c2.DATASETS.TEST = ("synthetic_val",)
+    c2.freeze()
+
+    from maskrcnn_tpu.data import make_data_loader
+    from maskrcnn_tpu.engine.inference import inference
+
+    model = build_detection_model(c2)
+    params = model.init(jax.random.PRNGKey(0))
+    (loader,) = make_data_loader(c2, is_train=False)
+    results = inference(
+        model, params, loader, dataset_name="synthetic_val",
+        iou_types=("bbox",), output_folder=None, bbox_aug_cfg=c2,
+    )
+    assert results is not None
+    res, _ = results
+    assert "bbox" in res.results

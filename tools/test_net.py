@@ -75,6 +75,7 @@ def main():
             output_folder=output_folder,
             expected_results=cfg.TEST.EXPECTED_RESULTS,
             expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL,
+            bbox_aug_cfg=cfg,
         )
         comm.synchronize()
 

@@ -111,6 +111,7 @@ def run_test(cfg, model, params, distributed):
             output_folder=output_folder,
             expected_results=cfg.TEST.EXPECTED_RESULTS,
             expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL,
+            bbox_aug_cfg=cfg,
         )
         comm.synchronize()
 
