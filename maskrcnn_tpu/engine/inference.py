@@ -20,6 +20,42 @@ from ..utils.timer import Timer
 from .train_step import make_eval_step
 
 
+class DetectionKeypoints:
+    """Resize-aware wrapper for the [N, K, 4] (x, y, logit, prob) detection
+    keypoints field — raw ndarray fields pass through BoxList.resize
+    unscaled, which would leave keypoint coordinates in network-input space.
+    """
+
+    def __init__(self, data, size):
+        self.data = np.asarray(data)
+        self.size = tuple(size)
+
+    def resize(self, size, *args, **kwargs):
+        rw = float(size[0]) / self.size[0]
+        rh = float(size[1]) / self.size[1]
+        out = self.data.copy()
+        out[..., 0] *= rw
+        out[..., 1] *= rh
+        return DetectionKeypoints(out, size)
+
+    def transpose(self, method):
+        out = self.data.copy()
+        out[..., 0] = self.size[0] - out[..., 0] - 1
+        return DetectionKeypoints(out, self.size)
+
+    def __getitem__(self, item):
+        return DetectionKeypoints(self.data[item], self.size)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __array__(self, dtype=None):
+        return self.data.astype(dtype) if dtype else self.data
+
+    def to_array(self):
+        return self.data
+
+
 def detections_to_boxlists(det, image_sizes):
     """Padded detection dict -> list of BoxLists (on the resized image)."""
     boxes = np.asarray(det["boxes"])
@@ -39,7 +75,7 @@ def detections_to_boxlists(det, image_sizes):
         if masks is not None:
             bl.add_field("mask", masks[i][v])
         if kps is not None:
-            bl.add_field("keypoints", kps[i][v])
+            bl.add_field("keypoints", DetectionKeypoints(kps[i][v], (w, h)))
         out.append(bl)
     return out
 
