@@ -165,3 +165,47 @@ def test_full_model_inference_parity():
                 found = True
                 break
         assert found, (i, my_boxes[i], my_scores[i], my_labels[i])
+
+
+def test_weight_import_covers_every_tensor():
+    """The converter must map the FULL Mask R-CNN tree bijectively:
+    every one of our leaves gets a reference tensor and none are left
+    unused (else e.g. a head would silently keep random init)."""
+    import torch
+
+    from maskrcnn_tpu.utils.c2_loading import (
+        _resolve_convk,
+        torchstyle_key_for_path,
+    )
+    from maskrcnn_tpu.utils.checkpoint import _flatten_params
+    from maskrcnn_tpu.utils.model_serialization import (
+        align_and_update_state_dicts,
+    )
+
+    ref_cfg = fresh_ref_cfg(YAML)
+    from maskrcnn_benchmark.modeling.detector import (
+        build_detection_model as ref_build,
+    )
+
+    torch.manual_seed(0)
+    ref_model = ref_build(ref_cfg)
+    state = torch_state_to_numpy(ref_model)
+
+    from maskrcnn_tpu.models import build_detection_model as my_build
+
+    c = _my_cfg()
+    model = my_build(c)
+    params = model.init(jax.random.PRNGKey(0))
+    t_flat = _flatten_params(jax.tree.map(np.asarray, params))
+    keys = {
+        p: _resolve_convk(torchstyle_key_for_path(p), "/" + p + "/")
+        for p in t_flat
+    }
+    match = align_and_update_state_dicts(list(keys.values()), list(state.keys()))
+    unmatched = [p for p, k in keys.items() if k not in match]
+    assert not unmatched, unmatched[:10]
+    used = set(match.values())
+    # anchor-generator buffers are constants the reference registers as
+    # state; this framework computes anchors statically (models/anchors.py)
+    unused = [k for k in state if k not in used and "anchor_generator" not in k]
+    assert not unused, unused[:10]
