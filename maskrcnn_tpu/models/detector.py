@@ -164,16 +164,21 @@ class GeneralizedRCNN:
     def _box_features(self, features):
         return features[: len(self.box_pooler.scales)]
 
-    def _infer_pooler_backend(self, num_levels):
-        """Pallas patch-DMA pooler on TPU inference (multi-level only);
-        training keeps the gather pooler (autodiff backward)."""
+    def _infer_pooler_backend(self, num_levels, is_train=False):
+        """Pallas patch-DMA pooler on TPU (multi-level, 128-aligned channels
+        only); training additionally pairs it with the Pallas RMW backward
+        (custom_vjp). Otherwise the exact gather pooler + autodiff."""
         if self.pooler_backend_cfg == "gather" or num_levels <= 1:
             return "gather"
+        if self.backbone.out_channels % 128 != 0:
+            return "gather"
         if self.pooler_backend_cfg == "pallas":
-            return "pallas"
+            return "pallas_train" if is_train else "pallas"
         from ..ops.nms import _use_pallas
 
-        return "pallas" if _use_pallas() else "gather"
+        if not _use_pallas():
+            return "gather"
+        return "pallas_train" if is_train else "pallas"
 
     def _run_mask_extractor(self, params, features, boxes, batch_idx,
                             pooler_backend="gather"):
@@ -278,10 +283,14 @@ class GeneralizedRCNN:
             self.box_reg_weights, gt_usable=gt_usable,
         )
 
+        pb = self._infer_pooler_backend(
+            len(self.box_pooler.scales), is_train=True
+        )
         rois_flat, batch_idx = _flatten_rois(targets["rois"])
         class_logits, box_regression, _ = bh.run_box_head(
             params["roi_heads"]["box"], self._box_features(features),
             rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
+            pooler_backend=pb,
         )
         cls_loss, box_loss = bh.box_head_loss(
             class_logits, box_regression, targets,
@@ -302,7 +311,9 @@ class GeneralizedRCNN:
             pos_flat, pos_batch = _flatten_rois(pos_rois)
 
         if self.mask_on:
-            x = self._run_mask_extractor(params, features, pos_flat, pos_batch)
+            x = self._run_mask_extractor(
+                params, features, pos_flat, pos_batch, pooler_backend=pb
+            )
             mask_logits = mh.apply_mask_predictor(
                 params["roi_heads"]["mask"]["predictor"], x, cfg, self.compute_dtype
             )  # [B*Km, M, M, C]
@@ -328,6 +339,9 @@ class GeneralizedRCNN:
                 params["roi_heads"]["keypoint"],
                 features[: len(self.kp_pooler.scales)],
                 pos_flat, pos_batch, self.kp_pooler, cfg, self.compute_dtype,
+                pooler_backend=self._infer_pooler_backend(
+                    len(self.kp_pooler.scales), is_train=True
+                ),
             )
             gt_kps = batch["gt_keypoints"].astype(jnp.float32)  # [B, G, K, 3]
             matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)

@@ -286,10 +286,83 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout):
     return grads
 
 
-def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16):
+def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
+    """Backward via XLA windowed scatter-add (no Pallas).
+
+    Each ROI's feature-gradient is a dense [PATCH, PATCH_W, C] patch
+    dPatch = RowW^T @ dOut @ ColW (two small MXU matmuls); all patches are
+    then scatter-added into one fused [(L*B), Hmax, Wmax, C] buffer with a
+    single lax.scatter_add whose update window IS the patch — XLA turns this
+    into a sequential stream of large fused window-RMWs, which (unlike the
+    4-neighbor scatter autodiff derives from the gather pooler) moves whole
+    2.7 MB windows per ROI at near-HBM bandwidth. ROIs are processed in
+    chunks under lax.scan so the dPatch intermediate stays bounded.
+
+    Replaces the atomic-add backward of the reference CUDA kernel
+    (csrc/cuda/ROIAlign_cuda.cu:178-257) with a TPU-native formulation.
+    """
+    lvl, bidx, y0, x0, roww, colw = residuals
+    num_levels = len(shapes)
+    b = shapes[0][0]
+    c = shapes[0][-1]
+    hm = max(max(s[1] for s in shapes), PATCH)
+    wm = max(max(s[2] for s in shapes), PATCH_W)
+    r = dout.shape[0]
+    p = dout.shape[1]
+
+    pad = (-r) % chunk
+    if pad:
+        z = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        lvl, bidx, y0, x0, roww, colw, dout = map(
+            z, (lvl, bidx, y0, x0, roww, colw, dout)
+        )
+        r += pad
+    slot = lvl * b + bidx  # padded rows carry zero dout -> harmless at slot 0
+    inds = jnp.stack([slot, y0, x0], axis=1).reshape(-1, chunk, 3)
+
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+
+    def body(op, sl):
+        roww_c, colw_c, dout_c, inds_c = sl
+        da = jnp.einsum(
+            "rqx,rpqc->rpxc", colw_c, dout_c.astype(jnp.float32)
+        )
+        dpatch = jnp.einsum("rpy,rpxc->ryxc", roww_c, da)
+        op = jax.lax.scatter_add(
+            op, inds_c, dpatch, dnums,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        return op, None
+
+    op = jnp.zeros((num_levels * b, hm, wm, c), jnp.float32)
+    nchunk = r // chunk
+    op, _ = jax.lax.scan(
+        body,
+        op,
+        (
+            roww.reshape(nchunk, chunk, p, PATCH),
+            colw.reshape(nchunk, chunk, p, PATCH_W),
+            dout.reshape(nchunk, chunk, p, p, c),
+            inds,
+        ),
+    )
+    op = op.reshape(num_levels, b, hm, wm, c)
+    return tuple(
+        op[i, :, : s[1], : s[2], :] for i, s in enumerate(shapes)
+    )
+
+
+def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="scatter"):
     """Returns fn(features_tuple, boxes, batch_idx) -> pooled, with a Pallas
-    forward and a Pallas scatter-accumulate backward (grads w.r.t. features;
-    boxes/batch_idx are treated as non-differentiable)."""
+    forward and a scatter-accumulate backward (grads w.r.t. features;
+    boxes/batch_idx are treated as non-differentiable).
+
+    bwd_impl: "scatter" (XLA windowed scatter-add, default) or "rmw"
+    (sequential Pallas read-modify-write kernel)."""
 
     @jax.custom_vjp
     def fn(features, boxes, batch_idx):
@@ -313,17 +386,23 @@ def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16):
     def bwd(saved, dout):
         res, shapes, boxes, batch_idx = saved
         p = pcfg.output_size[0]
-        # grads are for the PADDED maps; slice back to true shapes
-        padded_shapes = tuple(
-            (s[0], max(s[1], PATCH), max(s[2], PATCH_W), s[3]) for s in shapes
-        )
-        grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res, dout)
         import numpy as _np
 
-        dfeats = tuple(
-            g[:, : s[1], : s[2], :].astype(compute_dtype)
-            for g, s in zip(grads, shapes)
-        )
+        if bwd_impl == "scatter":
+            dfeats = tuple(
+                g.astype(compute_dtype)
+                for g in _scatter_windows_bwd(shapes, res, dout)
+            )
+        else:
+            # grads are for the PADDED maps; slice back to true shapes
+            padded_shapes = tuple(
+                (s[0], max(s[1], PATCH), max(s[2], PATCH_W), s[3]) for s in shapes
+            )
+            grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res, dout)
+            dfeats = tuple(
+                g[:, : s[1], : s[2], :].astype(compute_dtype)
+                for g, s in zip(grads, shapes)
+            )
         zero_b = _np.zeros(boxes.shape, dtype=jax.dtypes.float0)
         zero_i = _np.zeros(batch_idx.shape, dtype=jax.dtypes.float0)
         return (dfeats, zero_b, zero_i)

@@ -12,9 +12,14 @@ Semantics match the reference's legacy aligned=False behaviour:
   * roi width/height clamped to >= 1 in feature coords
   * bilinear samples outside [-1, H] are zero; inside coords clamped to edge
   * sample grid: sampling_ratio x sampling_ratio per bin; the reference's
-    sampling_ratio=0 "adaptive ceil(roi/bin)" mode is approximated with a
-    static grid (default 2) — dynamic per-ROI grids don't compile on TPU
-    (documented divergence; FPN configs use static 2 natively).
+    sampling_ratio=0 "adaptive ceil(roi/bin)" mode (ROIAlign_cuda.cu:30-34,
+    per-axis grid = ceil(roi_size / pooled_size)) is realized EXACTLY with
+    fixed shapes: a static superset of adaptive_max samples per bin per
+    axis, where sample k of a bin carries weight 1/n if k < n (the ROI's
+    true grid count) and 0 otherwise, and positions are computed from the
+    per-ROI n. Exact whenever n <= adaptive_max; with the reference's
+    800/1333 input sizes the largest possible C4 grid is
+    ceil(1333/16/14) = 6 < 8.
 """
 
 import jax.numpy as jnp
@@ -59,6 +64,28 @@ def _bilinear_gather(flat_features, h, w, batch_idx, y, x):
     return jnp.where(outside[..., None], 0.0, val)
 
 
+def adaptive_axis_samples(origin, bin_sz, p, s_max):
+    """Per-axis sample positions + weights for the adaptive grid.
+
+    Reference ROIAlign_cuda.cu:30-34: grid count n = ceil(roi_size / p)
+    per axis. With a static s_max-sample superset, sample k of a bin sits
+    at the grid-n position (k + .5) * bin/n and weighs 1/n for k < n, 0
+    otherwise — bit-exact to the dynamic grid for every n <= s_max.
+
+    origin: [K] roi start (feature coords); bin_sz: [K].
+    Returns pos [K, p*s_max], wt [K, p*s_max].
+    """
+    n = jnp.clip(jnp.ceil(bin_sz), 1.0, float(s_max))  # [K]
+    j = jnp.arange(p * s_max)
+    binidx = (j // s_max).astype(jnp.float32)
+    k = (j % s_max).astype(jnp.float32)
+    pos = origin[:, None] + binidx[None] * bin_sz[:, None] + (
+        k[None] + 0.5
+    ) * (bin_sz[:, None] / n[:, None])
+    wt = (k[None] < n[:, None]).astype(jnp.float32) / n[:, None]
+    return pos, wt
+
+
 def roi_align(
     features,  # [B, H, W, C]
     rois,  # [K, 4] xyxy in image coords
@@ -66,12 +93,17 @@ def roi_align(
     output_size,  # int or (ph, pw)
     spatial_scale,
     sampling_ratio=2,
+    adaptive_max=8,
 ):
-    """Returns [K, ph, pw, C] average-pooled bilinear samples per ROI."""
+    """Returns [K, ph, pw, C] average-pooled bilinear samples per ROI.
+
+    sampling_ratio=0 selects the reference's adaptive per-ROI grid
+    (exact up to adaptive_max samples per bin per axis)."""
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     ph, pw = output_size
-    s = max(int(sampling_ratio), 1)
+    adaptive = int(sampling_ratio) == 0
+    s = int(adaptive_max) if adaptive else max(int(sampling_ratio), 1)
     b, h, w, c = features.shape
     k = rois.shape[0]
 
@@ -81,17 +113,21 @@ def roi_align(
     bin_w = roi_w / pw
     bin_h = roi_h / ph
 
-    # Separable sample coordinates: ys [K, ph*s], xs [K, pw*s]
-    iy = (jnp.arange(ph * s) // s).astype(jnp.float32)  # bin index per row
-    sy = (jnp.arange(ph * s) % s).astype(jnp.float32)
-    ys = rois[:, 1:2] + iy[None, :] * bin_h[:, None] + (sy[None, :] + 0.5) * (
-        bin_h[:, None] / s
-    )
-    ix = (jnp.arange(pw * s) // s).astype(jnp.float32)
-    sx = (jnp.arange(pw * s) % s).astype(jnp.float32)
-    xs = rois[:, 0:1] + ix[None, :] * bin_w[:, None] + (sx[None, :] + 0.5) * (
-        bin_w[:, None] / s
-    )
+    if adaptive:
+        ys, wy = adaptive_axis_samples(rois[:, 1], bin_h, ph, s)
+        xs, wx = adaptive_axis_samples(rois[:, 0], bin_w, pw, s)
+    else:
+        # Separable sample coordinates: ys [K, ph*s], xs [K, pw*s]
+        iy = (jnp.arange(ph * s) // s).astype(jnp.float32)  # bin index per row
+        sy = (jnp.arange(ph * s) % s).astype(jnp.float32)
+        ys = rois[:, 1:2] + iy[None, :] * bin_h[:, None] + (sy[None, :] + 0.5) * (
+            bin_h[:, None] / s
+        )
+        ix = (jnp.arange(pw * s) // s).astype(jnp.float32)
+        sx = (jnp.arange(pw * s) % s).astype(jnp.float32)
+        xs = rois[:, 0:1] + ix[None, :] * bin_w[:, None] + (sx[None, :] + 0.5) * (
+            bin_w[:, None] / s
+        )
 
     yy = jnp.broadcast_to(ys[:, :, None], (k, ph * s, pw * s))
     xx = jnp.broadcast_to(xs[:, None, :], (k, ph * s, pw * s))
@@ -99,8 +135,14 @@ def roi_align(
 
     flat = features.reshape(b * h * w, c)
     samples = _bilinear_gather(flat, h, w, bb, yy, xx)  # [K, ph*s, pw*s, C]
-    # Average the s x s samples in each bin.
-    out = samples.reshape(k, ph, s, pw, s, c).mean(axis=(2, 4))
+    if adaptive:
+        wgt = wy[:, :, None] * wx[:, None, :]  # [K, ph*s, pw*s]
+        out = (samples * wgt[..., None]).reshape(k, ph, s, pw, s, c).sum(
+            axis=(2, 4)
+        )
+    else:
+        # Average the s x s samples in each bin.
+        out = samples.reshape(k, ph, s, pw, s, c).mean(axis=(2, 4))
     return out
 
 

@@ -61,6 +61,45 @@ def test_roi_align_matches_reference_kernel():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_roi_align_adaptive_matches_reference_kernel():
+    """sampling_ratio=0 — the reference's per-ROI adaptive ceil(roi/bin)
+    grid (ROIAlign_cuda.cu:30-34), exercised across grid counts 1..6 (the
+    C4 configs' operating range). The TPU build realizes it with a static
+    weighted sample superset; values must still match bit-tight."""
+    import torch
+
+    from ref_oracle import build_ref_extension
+    from maskrcnn_tpu.ops import roi_align
+
+    ext = build_ref_extension()
+    rng = np.random.RandomState(1)
+    feat = rng.randn(2, 90, 120, 8).astype(np.float32)  # NHWC
+    # spatial_scale 1/16 (C4): roi sizes chosen so ceil(bin) spans 1..6
+    rois = np.array(
+        [
+            [0, 0, 100, 120],       # ~6x8 cells   -> grid 1
+            [5, 5, 500, 400],       # ~31x25 cells -> grid 3x2
+            [0, 0, 1333, 800],      # 83x50 cells  -> grid 6x4
+            [40, 30, 41, 31],       # sub-cell     -> grid 1
+            [100, 64, 1000, 780],   # mixed
+        ],
+        np.float32,
+    )
+    bidx = np.array([0, 1, 0, 1, 0], np.int32)
+    ref = ext.roi_align_forward(
+        torch.from_numpy(np.ascontiguousarray(feat.transpose(0, 3, 1, 2))),
+        torch.from_numpy(
+            np.concatenate([bidx[:, None].astype(np.float32), rois], axis=1)
+        ),
+        1.0 / 16, 14, 14, 0,
+    ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bidx),
+                  14, 1.0 / 16, sampling_ratio=0)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_backbone_parity_r50_fpn():
     import torch
 
