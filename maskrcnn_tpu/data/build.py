@@ -2,22 +2,24 @@
 
 Reference: maskrcnn_benchmark/data/build.py:18-182. Same pipeline shape —
 dataset(s) -> (Distributed)Sampler -> GroupedBatchSampler (aspect ratio)
--> IterationBasedBatchSampler -> loader with collator — with a
-threaded prefetching loader in place of torch DataLoader workers (the
-native C++ loader in csrc/ can be slotted in here later).
+-> IterationBasedBatchSampler -> multi-process loader with collator
+(DATALOADER.NUM_WORKERS worker processes, see loader.DataLoader).
 
 Batch-size semantics match the reference: SOLVER.IMS_PER_BATCH is global;
 each host loads global/num_processes images per step (all per-host shards
 form the per-step global batch sharded over the mesh).
 """
 
-import queue
-import threading
-
 from ..config.paths_catalog import DatasetCatalog
 from ..utils.imports import import_file
 from .collate import BatchCollator, BBoxAugCollator
-from .datasets import COCODataset, ConcatDataset, PascalVOCDataset
+from .loader import DataLoader
+from .datasets import (
+    CityScapesDataset,
+    COCODataset,
+    ConcatDataset,
+    PascalVOCDataset,
+)
 from .samplers import (
     BatchSampler,
     DistributedSampler,
@@ -30,6 +32,7 @@ from .transforms import build_transforms
 
 _FACTORIES = {
     "COCODataset": COCODataset,
+    "CityScapesDataset": CityScapesDataset,
     "PascalVOCDataset": PascalVOCDataset,
 }
 
@@ -83,44 +86,38 @@ def make_batch_sampler(
     return batch_sampler
 
 
-class DataLoader:
-    """Minimal threaded data loader (index fetch + collate off the main
-    thread, bounded prefetch queue)."""
+class _LoaderFactory:
+    """Picklable (dataset, collator) builder for spawn-mode loader workers."""
 
-    def __init__(self, dataset, batch_sampler, collator, num_workers=2, prefetch=4):
-        self.dataset = dataset
-        self.batch_sampler = batch_sampler
-        self.collator = collator
-        self.num_workers = max(0, num_workers)
-        self.prefetch = prefetch
+    def __init__(self, cfg, is_train, dataset_index):
+        self.cfg = cfg
+        self.is_train = is_train
+        self.dataset_index = dataset_index
 
-    def __len__(self):
-        return len(self.batch_sampler)
-
-    def _produce(self, q, batches):
-        try:
-            for batch_idx in batches:
-                items = [self.dataset[i] for i in batch_idx]
-                q.put(self.collator(items))
-        finally:
-            q.put(None)
-
-    def __iter__(self):
-        if self.num_workers == 0:
-            for batch_idx in self.batch_sampler:
-                items = [self.dataset[i] for i in batch_idx]
-                yield self.collator(items)
-            return
-        q = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(
-            target=self._produce, args=(q, iter(self.batch_sampler)), daemon=True
+    def __call__(self):
+        cfg = self.cfg
+        transforms = (
+            None
+            if not self.is_train and cfg.TEST.BBOX_AUG.ENABLED
+            else build_transforms(cfg, self.is_train)
         )
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        dataset_list = cfg.DATASETS.TRAIN if self.is_train else cfg.DATASETS.TEST
+        datasets = build_dataset(
+            dataset_list, transforms, _resolve_catalog(cfg), self.is_train
+        )
+        if not self.is_train and cfg.TEST.BBOX_AUG.ENABLED:
+            collator = BBoxAugCollator()
+        else:
+            collator = BatchCollator(cfg, is_train=self.is_train)
+        return datasets[self.dataset_index], collator
+
+
+def _resolve_catalog(cfg):
+    paths_catalog = cfg.PATHS_CATALOG
+    if paths_catalog.endswith("paths_catalog.py") and "maskrcnn_tpu" in paths_catalog:
+        return DatasetCatalog
+    module = import_file("maskrcnn_tpu.config.paths_catalog_override", paths_catalog)
+    return module.DatasetCatalog
 
 
 def make_data_loader(cfg, is_train=True, is_distributed=False, start_iter=0):
@@ -148,12 +145,7 @@ def make_data_loader(cfg, is_train=True, is_distributed=False, start_iter=0):
 
     aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
 
-    paths_catalog = cfg.PATHS_CATALOG
-    if paths_catalog.endswith("paths_catalog.py") and "maskrcnn_tpu" in paths_catalog:
-        catalog = DatasetCatalog
-    else:
-        module = import_file("maskrcnn_tpu.config.paths_catalog_override", paths_catalog)
-        catalog = module.DatasetCatalog
+    catalog = _resolve_catalog(cfg)
 
     transforms = (
         None if not is_train and cfg.TEST.BBOX_AUG.ENABLED else build_transforms(cfg, is_train)
@@ -162,7 +154,7 @@ def make_data_loader(cfg, is_train=True, is_distributed=False, start_iter=0):
     datasets = build_dataset(dataset_list, transforms, catalog, is_train)
 
     loaders = []
-    for dataset in datasets:
+    for di, dataset in enumerate(datasets):
         if is_distributed:
             sampler = DistributedSampler(dataset, num_replicas, rank, shuffle=shuffle)
         elif shuffle:
@@ -178,7 +170,10 @@ def make_data_loader(cfg, is_train=True, is_distributed=False, start_iter=0):
         else:
             collator = BatchCollator(cfg, is_train=is_train)
         loaders.append(
-            DataLoader(dataset, batch_sampler, collator, cfg.DATALOADER.NUM_WORKERS)
+            DataLoader(
+                dataset, batch_sampler, collator, cfg.DATALOADER.NUM_WORKERS,
+                factory=_LoaderFactory(cfg, is_train, di),
+            )
         )
     if is_train:
         assert len(loaders) == 1

@@ -54,7 +54,7 @@ def pick_bucket(buckets, h, w):
 
 
 class BatchCollator:
-    def __init__(self, cfg, is_train=True):
+    def __init__(self, cfg, is_train=True, patch_cache_size=200_000):
         self.cfg = cfg
         self.is_train = is_train
         self.buckets = compute_image_buckets(cfg, is_train)
@@ -62,6 +62,16 @@ class BatchCollator:
         self.mask_size = cfg.TPU.GT_MASK_SIZE
         self.mask_on = cfg.MODEL.MASK_ON
         self.keypoint_on = cfg.MODEL.KEYPOINT_ON
+        # Polygon mask-patch cache. A polygon instance cropped to its own gt
+        # box and resized to a fixed SxS patch is EXACTLY invariant to the
+        # (random multi-scale) Resize transform — both polygon and box scale
+        # by the same affine, so box-local normalized coordinates are
+        # unchanged — and depends on the flip transforms only through the
+        # flip bits. So each instance rasterizes at most once per flip state
+        # over the whole training run (the reference re-rasterizes every
+        # epoch inside mask_head/loss.py project_masks_on_boxes).
+        self._patch_cache = {}
+        self._patch_cache_cap = patch_cache_size
 
     def __call__(self, batch):
         """batch: list of (image HWC float32, BoxList target, idx)."""
@@ -101,7 +111,16 @@ class BatchCollator:
             gt_labels[i, :k] = np.asarray(t.get_field("labels"))[:k]
             if self.mask_on and t.has_field("masks"):
                 masks = t.get_field("masks")
+                cacheable = getattr(masks, "mode", None) == "poly"
+                flips = (
+                    getattr(t, "_hflipped", False),
+                    getattr(t, "_vflipped", False),
+                )
                 for j in range(k):
+                    key = (int(idxs[i]), j, flips)
+                    if cacheable and key in self._patch_cache:
+                        gt_masks[i, j] = self._patch_cache[key]
+                        continue
                     box = t.bbox[j]
                     inst = masks[j]
                     patch = (
@@ -111,6 +130,8 @@ class BatchCollator:
                     if m.ndim == 3:
                         m = m[0]
                     gt_masks[i, j] = m
+                    if cacheable and len(self._patch_cache) < self._patch_cache_cap:
+                        self._patch_cache[key] = m
             if self.keypoint_on and t.has_field("keypoints"):
                 kp = t.get_field("keypoints").to_array()
                 gt_kps[i, :k] = kp[:k]

@@ -66,6 +66,9 @@ class RandomHorizontalFlip:
         if random.random() < self.prob:
             image = image.transpose(Image.FLIP_LEFT_RIGHT)
             target = target.transpose(FLIP_LEFT_RIGHT)
+            # marker consumed by the collator's mask-patch cache (the patch
+            # of a flipped polygon differs from the unflipped one)
+            target._hflipped = not getattr(target, "_hflipped", False)
         return image, target
 
 
@@ -77,6 +80,7 @@ class RandomVerticalFlip:
         if random.random() < self.prob:
             image = image.transpose(Image.FLIP_TOP_BOTTOM)
             target = target.transpose(FLIP_TOP_BOTTOM)
+            target._vflipped = not getattr(target, "_vflipped", False)
         return image, target
 
 
@@ -108,10 +112,16 @@ class ColorJitter:
 
 
 class ToArray:
-    """PIL -> float32 HWC numpy in [0, 255] RGB."""
+    """PIL -> HWC numpy RGB. Kept as uint8: Normalize consumes uint8 via a
+    fused lookup table, making float32 materialize exactly once per image
+    (the loader is host-CPU bound, SURVEY.md hard part #6)."""
 
     def __call__(self, image, target):
-        return np.asarray(image, np.float32), target
+        if isinstance(image, np.ndarray):
+            if image.dtype == np.uint8:
+                return image, target
+            return np.asarray(image, np.float32), target
+        return np.asarray(image, np.uint8), target
 
 
 class Normalize:
@@ -119,8 +129,25 @@ class Normalize:
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_bgr255 = to_bgr255
+        # per-output-channel LUT over the 256 uint8 values: one fused
+        # gather-pass replaces flip + subtract + divide full-image passes
+        v = np.arange(256, dtype=np.float32)
+        scaled = v if to_bgr255 else v / 255.0
+        self._lut = np.stack(
+            [(scaled - self.mean[c]) / self.std[c] for c in range(len(self.mean))]
+        )  # [C, 256]
+        self._src = (
+            np.arange(len(self.mean))[::-1] if to_bgr255
+            else np.arange(len(self.mean))
+        )
 
     def __call__(self, image, target):
+        if image.dtype == np.uint8 and image.ndim == 3:
+            out = np.empty(image.shape[:2] + (len(self._src),), np.float32)
+            for c, sc in enumerate(self._src):
+                out[:, :, c] = self._lut[c][image[:, :, sc]]
+            return out, target
+        # float fallback (synthetic arrays fed directly to the transform)
         if self.to_bgr255:
             image = image[:, :, ::-1]  # RGB -> BGR, stays 0-255
         else:

@@ -12,7 +12,7 @@ import numpy as np
 
 
 def make_synthetic_coco(root, num_images=8, size=(120, 160), num_classes=3,
-                        seed=0, keypoints=False):
+                        seed=0, keypoints=False, n_obj_range=(1, 4)):
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
@@ -23,14 +23,17 @@ def make_synthetic_coco(root, num_images=8, size=(120, 160), num_classes=3,
 
     for i in range(num_images):
         img = (rng.rand(h, w, 3) * 60).astype(np.uint8)
-        n_obj = rng.randint(1, 4)
+        n_obj = rng.randint(*n_obj_range)
         for _ in range(n_obj):
             bw = rng.randint(20, w // 2)
             bh = rng.randint(20, h // 2)
             x0 = rng.randint(0, w - bw)
             y0 = rng.randint(0, h - bh)
             cat = int(rng.randint(1, num_classes + 1))
-            color = np.array([60 + 60 * cat, 40 * cat, 255 - 50 * cat], np.uint8)
+            color = np.array(
+                [(60 + 60 * cat) % 256, (40 * cat) % 256, (255 - 50 * cat) % 256],
+                np.uint8,
+            )
             img[y0:y0 + bh, x0:x0 + bw] = color
             poly = [
                 float(x0), float(y0), float(x0 + bw - 1), float(y0),
