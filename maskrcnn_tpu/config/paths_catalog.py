@@ -70,9 +70,24 @@ class DatasetCatalog:
         ),
     }
 
+    # native gtFine-layout cityscapes sets (reference paths_catalog.py:112-155)
+    _CITYSCAPES_NATIVE_SETS = {
+        "cityscapes_poly_instance_train": dict(split="train", mode="poly"),
+        "cityscapes_poly_instance_val": dict(split="val", mode="poly"),
+        "cityscapes_poly_instance_minival": dict(split="val", mode="poly", mini=10),
+        "cityscapes_mask_instance_train": dict(split="train", mode="mask"),
+        "cityscapes_mask_instance_val": dict(split="val", mode="mask"),
+        "cityscapes_mask_instance_minival": dict(split="val", mode="mask", mini=10),
+    }
+
     @staticmethod
     def get(name):
         root = DatasetCatalog.DATA_DIR
+        if name in DatasetCatalog._CITYSCAPES_NATIVE_SETS:
+            args = dict(DatasetCatalog._CITYSCAPES_NATIVE_SETS[name])
+            args["img_dir"] = os.path.join(root, "cityscapes/leftImg8bit")
+            args["ann_dir"] = os.path.join(root, "cityscapes/gtFine")
+            return dict(factory="CityScapesDataset", args=args)
         if name in DatasetCatalog._COCO_SETS or name in DatasetCatalog._CITYSCAPES_SETS:
             table = dict(DatasetCatalog._COCO_SETS, **DatasetCatalog._CITYSCAPES_SETS)
             img_dir, ann_file = table[name]

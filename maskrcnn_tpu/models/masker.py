@@ -32,6 +32,10 @@ def paste_mask_in_image(mask, box, im_h, im_w, thresh=0.5, padding=1):
     padded = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
     padded[padding:-padding, padding:-padding] = mask
     box = expand_boxes(box[None], scale)[0]
+    # truncate the box to ints BEFORE sizing (reference inference.py:88:
+    # box = box.to(dtype=torch.int32)), so the resize target and the
+    # destination slice agree even for fractional/out-of-image boxes
+    box = box.astype(np.int64)
 
     TO_REMOVE = 1
     w = max(int(box[2] - box[0] + TO_REMOVE), 1)
