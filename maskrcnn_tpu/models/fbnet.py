@@ -1,12 +1,14 @@
 """FBNet mobile backbones and lightweight heads.
 
 Reference: maskrcnn_benchmark/modeling/backbone/{fbnet.py:21-252,
-fbnet_builder.py:37-829, fbnet_modeldef.py}. Capability scope: the
-architectures the reference actually ships detection baselines for
-(default, mobilenet_v2, cham_v1a, cham_v2, xirb16d_dsmask), which are all
-composed of inverted-residual (MBConv) blocks ir_k{3,5,7} plus the first
-conv — the exotic search-space primitives (shift/shuffle/SE/cascade) are
-not used by any shipped model and are omitted.
+fbnet_builder.py:37-829, fbnet_modeldef.py}. Ships the same five built-in
+architectures (default, mobilenet_v2, cham_v1a, cham_v2, xirb16d_dsmask)
+and ingests arbitrary architectures from MODEL.FBNET.ARCH_DEF JSON — both
+this module's compact schema and the reference's block_op_type/block_cfg
+schema (convert_reference_arch_def). The full primitive search space is
+supported via the parse_op name grammar: ir_k{1,3,5,7} with expansion
+override / grouped-pw channel shuffle / squeeze-excite / cascaded-dw
+suffixes, plus skip, basic_block (CascadeConv3x3) and shift_5x5.
 
 Arch defs are data: stages of [t (expansion), c (channels), n (repeats),
 s (stride; -2 = 2x nearest upsample)], with stage-index groups for
@@ -96,6 +98,86 @@ MODEL_ARCH = {
 _KERNELS = {"k3": 3, "k5": 5, "k7": 7}
 
 
+def parse_op(name):
+    """Decode a reference primitive name into a block spec.
+
+    The reference enumerates ~40 PRIMITIVES lambdas
+    (fbnet_builder.py:37-195); every one of them is a parameterization of
+    four structural templates, so a small name grammar replaces the table:
+
+      ir_k{K}[_e{E}][_s{G}][_se][_sep]   inverted residual: kernel K,
+            expansion override E, grouped-pw+channel-shuffle with G groups
+            (s2 implies E=1, s4 implies E=4), squeeze-excite, cascaded
+            ("sep") double depthwise. ir_k33* = kernel 3 with cdw.
+      shuffle                            ir block, pw_group=4, mid shuffle
+      skip                               identity (1x1 conv when shape changes)
+      basic_block                        CascadeConv3x3
+      shift_5x5                          ShiftBlock5x5 (constant shift conv)
+    """
+    if name in _KERNELS:  # internal shorthand used by the built-in tables
+        name = "ir_" + name
+    if name == "skip":
+        return dict(kind="skip")
+    if name == "basic_block":
+        return dict(kind="cascade")
+    if name == "shift_5x5":
+        return dict(kind="shift")
+    base = dict(kind="irf", kernel=3, pw_group=1, shuffle=False, se=False,
+                cdw=False, exp_override=None)
+    if name == "shuffle":
+        base.update(pw_group=4, shuffle=True)
+        return base
+    if not name.startswith("ir_k"):
+        raise ValueError("unknown FBNet primitive: {}".format(name))
+    parts = name[3:].split("_")
+    if parts[0] == "k33":
+        base.update(kernel=3, cdw=True)
+    else:
+        base["kernel"] = int(parts[0][1:])
+    for p in parts[1:]:
+        if p.startswith("e"):
+            base["exp_override"] = int(p[1:])
+        elif p == "se":
+            base["se"] = True
+        elif p == "sep":
+            base["cdw"] = True
+        elif p == "s2":
+            base.update(pw_group=2, shuffle=True, exp_override=1)
+        elif p == "s4":
+            base.update(pw_group=4, shuffle=True, exp_override=4)
+        else:
+            raise ValueError(
+                "unknown FBNet primitive suffix {!r} in {!r}".format(p, name)
+            )
+    return base
+
+
+def convert_reference_arch_def(d):
+    """Reference ARCH_DEF JSON (fbnet_modeldef.py schema: block_op_type +
+    block_cfg) -> this module's internal arch dict."""
+    ops = d["block_op_type"]
+    cfg = d["block_cfg"]
+    stages = []
+    for stage_ops, stage_cfg in zip(ops, cfg["stages"]):
+        # ops are per expanded block; regroup them onto the [t,c,n,s] groups
+        flat_ops = list(stage_ops)
+        groups = []
+        k = 0
+        for (t, c, n, s) in stage_cfg:
+            for i in range(n):
+                groups.append((flat_ops[min(k, len(flat_ops) - 1)], t, c, 1,
+                               s if i == 0 else 1))
+                k += 1
+        stages.append(groups)
+    out = dict(first=list(cfg["first"]), stages=stages)
+    for head in ("backbone", "rpn", "bbox", "mask"):
+        if head in cfg:
+            out[head] = list(cfg[head])
+    if "rpn_stride" in d:
+        out["rpn_stride"] = d["rpn_stride"]
+    return out
+
+
 def _py2_round(x):
     import decimal
 
@@ -118,58 +200,212 @@ def _scale_channels(c, scale, divisor):
 
 
 def expand_blocks(arch, stage_indices, scale=1.0, divisor=1):
-    """Flatten [kernel, t, c, n, s] groups into per-block specs."""
+    """Flatten [op, t, c, n, s] groups into per-block specs."""
     blocks = []
     for si in stage_indices:
         for (k, t, c, n, s) in arch["stages"][si]:
             c = _scale_channels(c, scale, divisor)
+            op = parse_op(k)
             for i in range(n):
                 stride = s if i == 0 else 1
-                blocks.append(dict(kernel=_KERNELS[k], expansion=t, out=c,
-                                   stride=stride))
+                spec = dict(op)
+                if spec.pop("exp_override", None) is not None:
+                    t = parse_op(k)["exp_override"]
+                spec.update(expansion=t, out=c, stride=stride)
+                blocks.append(spec)
     return blocks
 
 
 # -- IRF (MBConv) block ---------------------------------------------------------
 
 
-def init_irf_block(key, cin, spec):
-    keys = jax.random.split(key, 3)
-    mid = int(cin * spec["expansion"])
-    p = {}
-    if spec["expansion"] != 1:
-        p["pw"] = init_conv(keys[0], 1, 1, cin, mid, bias=False)
-        p["pw_bn"] = init_frozen_bn(mid)
-    p["dw"] = init_conv(
-        keys[1], spec["kernel"], spec["kernel"], mid, mid, bias=False, groups=mid
+def _se_init(key, c):
+    mid = max(c // 4, 8)
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_conv(k1, 1, 1, c, mid, bias=True),
+        "fc2": init_conv(k2, 1, 1, mid, c, bias=True),
+    }
+
+
+def _se_apply(p, x, compute_dtype):
+    s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    s = relu(conv2d(s.astype(compute_dtype), p["fc1"], padding=0,
+                    compute_dtype=compute_dtype))
+    s = jax.nn.sigmoid(
+        conv2d(s, p["fc2"], padding=0, compute_dtype=compute_dtype)
+        .astype(jnp.float32)
     )
-    p["dw_bn"] = init_frozen_bn(mid)
-    p["pwl"] = init_conv(keys[2], 1, 1, mid, spec["out"], bias=False)
+    return x * s.astype(x.dtype)
+
+
+def _channel_shuffle(x, groups):
+    n, h, w, c = x.shape
+    return (
+        x.reshape(n, h, w, groups, c // groups)
+        .swapaxes(3, 4)
+        .reshape(n, h, w, c)
+    )
+
+
+def _shift_kernel(c, ksize=5):
+    """Constant depthwise kernel realizing the Shift op: each channel group
+    is displaced to one of the ksize^2 grid offsets (the center group takes
+    the remainder channels). Reference fbnet_builder.py Shift."""
+    import numpy as np
+
+    k = np.zeros((ksize, ksize, 1, c), np.float32)
+    ksq = ksize * ksize
+    hks = ksize // 2
+    ch = 0
+    for i in range(ksize):
+        for j in range(ksize):
+            num = c // ksq + (c % ksq if (i == hks and j == hks) else 0)
+            k[i, j, 0, ch:ch + num] = 1.0
+            ch += num
+    return jnp.asarray(k)
+
+
+def init_irf_block(key, cin, spec):
+    kind = spec.get("kind", "irf")
+    keys = jax.random.split(key, 5)
+    if kind == "skip":
+        if cin == spec["out"] and spec["stride"] == 1:
+            return {}
+        return {
+            "conv": init_conv(keys[0], 1, 1, cin, spec["out"], bias=False),
+            "bn": init_frozen_bn(spec["out"]),
+        }
+    if kind == "cascade":
+        return {
+            "conv1": init_conv(keys[0], 3, 3, cin, cin, bias=False),
+            "bn1": init_frozen_bn(cin),
+            "conv2": init_conv(keys[1], 3, 3, cin, spec["out"], bias=False),
+            "bn2": init_frozen_bn(spec["out"]),
+        }
+    if kind == "shift":
+        mid = _divisible(int(cin * spec["expansion"]), 8)
+        return {
+            "pw": init_conv(keys[0], 1, 1, cin, mid, bias=False),
+            "pw_bn": init_frozen_bn(mid),
+            "pwl": init_conv(keys[1], 1, 1, mid, spec["out"], bias=False),
+            "pwl_bn": init_frozen_bn(spec["out"]),
+        }
+    # inverted residual
+    mid = int(cin * spec["expansion"])
+    g = spec.get("pw_group", 1)
+    p = {}
+    if spec["expansion"] != 1 or g > 1:
+        p["pw"] = init_conv(keys[0], 1, 1, cin, mid, bias=False, groups=g)
+        p["pw_bn"] = init_frozen_bn(mid)
+    if spec["kernel"] > 1:
+        p["dw"] = init_conv(
+            keys[1], spec["kernel"], spec["kernel"], mid, mid, bias=False,
+            groups=mid,
+        )
+        p["dw_bn"] = init_frozen_bn(mid)
+        if spec.get("cdw"):
+            p["dw2"] = init_conv(
+                keys[3], spec["kernel"], spec["kernel"], mid, mid, bias=False,
+                groups=mid,
+            )
+            p["dw2_bn"] = init_frozen_bn(mid)
+    p["pwl"] = init_conv(keys[2], 1, 1, mid, spec["out"], bias=False, groups=g)
     p["pwl_bn"] = init_frozen_bn(spec["out"])
+    if spec.get("se"):
+        p["se"] = _se_init(keys[4], spec["out"])
     return p
 
 
 def apply_irf_block(p, x, spec, compute_dtype=jnp.bfloat16):
+    kind = spec.get("kind", "irf")
     cin = x.shape[-1]
+    if kind == "skip":
+        if not p:
+            return x
+        return relu(
+            frozen_bn(
+                conv2d(x, p["conv"], stride=max(spec["stride"], 1), padding=0,
+                       compute_dtype=compute_dtype),
+                p["bn"],
+            )
+        )
+    if kind == "cascade":
+        out = relu(
+            frozen_bn(
+                conv2d(x, p["conv1"], stride=max(spec["stride"], 1), padding=1,
+                       compute_dtype=compute_dtype),
+                p["bn1"],
+            )
+        )
+        out = frozen_bn(
+            conv2d(out, p["conv2"], padding=1, compute_dtype=compute_dtype),
+            p["bn2"],
+        )
+        if spec["stride"] == 1 and cin == spec["out"]:
+            out = out + x
+        return out
+    if kind == "shift":
+        mid = _divisible(int(cin * spec["expansion"]), 8)
+        out = relu(
+            frozen_bn(
+                conv2d(x, p["pw"], padding=0, compute_dtype=compute_dtype),
+                p["pw_bn"],
+            )
+        )
+        shift_w = {"w": _shift_kernel(mid).astype(out.dtype)}
+        out = conv2d(out, shift_w, stride=max(spec["stride"], 1), padding=2,
+                     groups=mid, compute_dtype=compute_dtype)
+        out = frozen_bn(
+            conv2d(out, p["pwl"], padding=0, compute_dtype=compute_dtype),
+            p["pwl_bn"],
+        )
+        if spec["stride"] == 1 and cin == spec["out"]:
+            out = out + x
+        return out
+
     mid = int(cin * spec["expansion"])
+    g = spec.get("pw_group", 1)
     out = x
     if "pw" in p:
-        out = relu(frozen_bn(conv2d(out, p["pw"], padding=0, compute_dtype=compute_dtype), p["pw_bn"]))
+        out = relu(
+            frozen_bn(
+                conv2d(out, p["pw"], padding=0, groups=g,
+                       compute_dtype=compute_dtype),
+                p["pw_bn"],
+            )
+        )
+    if spec.get("shuffle") and g > 1:
+        out = _channel_shuffle(out, g)
     stride = spec["stride"]
     if stride == -2:
         out = nearest_upsample2x(out)
         stride = 1
     k = spec["kernel"]
-    out = relu(
-        frozen_bn(
-            conv2d(out, p["dw"], stride=stride, padding=k // 2, groups=mid,
-                   compute_dtype=compute_dtype),
-            p["dw_bn"],
+    if "dw" in p:
+        out = relu(
+            frozen_bn(
+                conv2d(out, p["dw"], stride=stride, padding=k // 2, groups=mid,
+                       compute_dtype=compute_dtype),
+                p["dw_bn"],
+            )
         )
+        if "dw2" in p:
+            out = relu(
+                frozen_bn(
+                    conv2d(out, p["dw2"], stride=1, padding=k // 2, groups=mid,
+                           compute_dtype=compute_dtype),
+                    p["dw2_bn"],
+                )
+            )
+    out = frozen_bn(
+        conv2d(out, p["pwl"], padding=0, groups=g, compute_dtype=compute_dtype),
+        p["pwl_bn"],
     )
-    out = frozen_bn(conv2d(out, p["pwl"], padding=0, compute_dtype=compute_dtype), p["pwl_bn"])
     if spec["stride"] == 1 and cin == spec["out"]:
         out = out + x
+    if "se" in p:
+        out = _se_apply(p["se"], out, compute_dtype)
     return out
 
 
@@ -200,6 +436,10 @@ class FBNetPlan:
             import json
 
             arch = json.loads(cfg.MODEL.FBNET.ARCH_DEF)
+            if "block_cfg" in arch:
+                # the reference fbnet_modeldef.py JSON schema
+                # (fbnet.py:27-41 json.loads of FBNET.ARCH_DEF)
+                arch = convert_reference_arch_def(arch)
         else:
             arch = MODEL_ARCH[arch_name]
         self.arch = arch
