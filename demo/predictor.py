@@ -138,144 +138,140 @@ class COCODemo:
         return result
 
     # -- drawing ------------------------------------------------------------------
+    # Per-class colors come from a golden-angle hue wheel (class_color):
+    # consecutive class ids land ~137.5 degrees apart on the hue circle, so
+    # any subset of classes stays visually distinct without a stored palette.
 
-    def compute_colors_for_labels(self, labels):
-        palette = np.array([2 ** 25 - 1, 2 ** 15 - 1, 2 ** 21 - 1])
-        colors = labels[:, None] * palette[None, :]
-        colors = (colors % 255).astype(np.uint8)
-        return colors
+    def class_color(self, label):
+        """Deterministic BGR color for a class id."""
+        import colorsys
+
+        hue = (int(label) * 0.61803398875) % 1.0
+        r, g, b = colorsys.hsv_to_rgb(hue, 0.85, 0.95)
+        return int(b * 255), int(g * 255), int(r * 255)
 
     def overlay_boxes(self, image, predictions):
         import cv2
 
         labels = np.asarray(predictions.get_field("labels"))
-        boxes = predictions.bbox
-        colors = self.compute_colors_for_labels(labels).tolist()
-        for box, color in zip(boxes, colors):
-            box = box.astype(np.int64)
-            top_left, bottom_right = tuple(box[:2]), tuple(box[2:])
-            image = cv2.rectangle(
-                image, top_left, bottom_right, tuple(map(int, color)), 1
+        boxes = np.asarray(predictions.bbox, np.int64)
+        for (x0, y0, x1, y1), label in zip(boxes.tolist(), labels.tolist()):
+            cv2.rectangle(
+                image, (x0, y0), (x1, y1), self.class_color(label), 1
             )
         return image
 
     def overlay_mask(self, image, predictions):
+        """Translucent class-colored fill plus a hard border, both derived
+        from the binary mask itself (morphological gradient) — no contour
+        extraction needed."""
         import cv2
 
-        masks = np.asarray(predictions.get_field("mask"))
+        masks = np.asarray(predictions.get_field("mask")).astype(np.uint8)
         labels = np.asarray(predictions.get_field("labels"))
-        colors = self.compute_colors_for_labels(labels).tolist()
-        for mask, color in zip(masks, colors):
-            contours, _ = cv2.findContours(
-                mask.astype(np.uint8), cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
-            )[-2:]
-            image = cv2.drawContours(image, contours, -1, tuple(map(int, color)), 3)
+        if masks.ndim == 4:
+            masks = masks[:, 0]
+        kernel = np.ones((3, 3), np.uint8)
+        for mask, label in zip(masks, labels.tolist()):
+            color = np.asarray(self.class_color(label), np.float32)
+            inside = mask.astype(bool)
+            image[inside] = (
+                0.55 * image[inside] + 0.45 * color
+            ).astype(np.uint8)
+            border = cv2.dilate(mask, kernel, iterations=2) - cv2.erode(
+                mask, kernel, iterations=1
+            )
+            image[border.astype(bool)] = color.astype(np.uint8)
         return image
 
     def overlay_keypoints(self, image, predictions):
-        keypoints = np.asarray(predictions.get_field("keypoints"))
-        kps = np.concatenate(
-            [keypoints[:, :, :2], keypoints[:, :, 3:4]], axis=2
-        ).transpose(0, 2, 1)
-        for region in kps:
-            image = vis_keypoints(image, region)
+        keypoints = np.asarray(predictions.get_field("keypoints"))  # [N,K,4]
+        for inst in keypoints:
+            image = draw_person_skeleton(
+                image, inst[:, :2], inst[:, 3], self.class_color
+            )
         return image
 
     def create_mask_montage(self, image, predictions):
+        """Tile the first masks_per_dim^2 mask probability maps into one
+        heat-mapped grid (built with a single reshape/transpose)."""
         import cv2
 
-        masks = np.asarray(predictions.get_field("mask"))
-        masks_per_dim = self.masks_per_dim
-        masks = np.stack(
-            [
-                cv2.resize(m.astype(np.float32), None, fx=1 / masks_per_dim,
-                           fy=1 / masks_per_dim)
-                for m in masks
-            ]
-        ) if len(masks) else masks
+        masks = np.asarray(predictions.get_field("mask"), np.float32)
+        if masks.ndim == 4:
+            masks = masks[:, 0]
+        d = self.masks_per_dim
         if len(masks) == 0:
             return image
-        height, width = masks.shape[1:]
-        max_masks = masks_per_dim ** 2
-        masks = masks[:max_masks]
-        result = np.zeros((masks_per_dim * height, masks_per_dim * width), np.float32)
-        for idx, mask in enumerate(masks):
-            y = idx // masks_per_dim
-            x = idx % masks_per_dim
-            result[y * height:(y + 1) * height, x * width:(x + 1) * width] = mask
-        return cv2.applyColorMap((result * 255).astype(np.uint8), cv2.COLORMAP_JET)
+        tiles = [
+            cv2.resize(m, None, fx=1.0 / d, fy=1.0 / d) for m in masks[: d * d]
+        ]
+        th, tw = tiles[0].shape
+        grid = np.zeros((d * d, th, tw), np.float32)
+        grid[: len(tiles)] = np.stack(tiles)
+        montage = (
+            grid.reshape(d, d, th, tw).swapaxes(1, 2).reshape(d * th, d * tw)
+        )
+        return cv2.applyColorMap(
+            np.uint8(np.clip(montage, 0, 1) * 255), cv2.COLORMAP_JET
+        )
 
     def overlay_class_names(self, image, predictions):
+        """Label text with a filled backdrop in the class color."""
         import cv2
 
         scores = np.asarray(predictions.get_field("scores")).tolist()
         labels = np.asarray(predictions.get_field("labels")).tolist()
-        label_names = [self.CATEGORIES[int(i)] for i in labels]
-        boxes = predictions.bbox
-        template = "{}: {:.2f}"
-        for box, score, label in zip(boxes, scores, label_names):
-            x, y = int(box[0]), int(box[1])
-            s = template.format(label, score)
-            cv2.putText(
-                image, s, (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1
+        boxes = np.asarray(predictions.bbox, np.int64).tolist()
+        font = cv2.FONT_HERSHEY_SIMPLEX
+        for box, score, label in zip(boxes, scores, labels):
+            text = "{}: {:.2f}".format(self.CATEGORIES[int(label)], score)
+            (tw, th), base = cv2.getTextSize(text, font, 0.5, 1)
+            x, y = box[0], max(box[1], th + base)
+            cv2.rectangle(
+                image, (x, y - th - base), (x + tw, y),
+                self.class_color(label), -1,
             )
+            cv2.putText(image, text, (x, y - base), font, 0.5, (0, 0, 0), 1)
         return image
 
 
-def vis_keypoints(img, kps, kp_thresh=2, alpha=0.7):
-    """Draw the COCO person skeleton (reference predictor.py:410-471)."""
+def draw_person_skeleton(img, xy, score, color_fn, thresh=2.0, alpha=0.7):
+    """Draw one COCO-person skeleton.
+
+    xy [K, 2], score [K]: decoded keypoints; joints below `thresh` are
+    skipped. Limbs take golden-wheel colors (one per connection, via
+    color_fn); two synthetic segments (nose->shoulder-center and
+    shoulder-center->hip-center) complete the torso. The overlay is
+    alpha-blended onto the input.
+    """
     import cv2
-    import matplotlib
 
-    dataset_keypoints = PersonKeypoints.NAMES
-    kp_lines = PersonKeypoints.CONNECTIONS
+    names = PersonKeypoints.NAMES
+    limbs = list(PersonKeypoints.CONNECTIONS)
 
-    cmap = matplotlib.colormaps.get_cmap("rainbow")
-    colors = [cmap(i) for i in np.linspace(0, 1, len(kp_lines) + 2)]
-    colors = [(c[2] * 255, c[1] * 255, c[0] * 255) for c in colors]
+    def center(a, b):
+        ia, ib = names.index(a), names.index(b)
+        return (xy[ia] + xy[ib]) / 2.0, min(score[ia], score[ib])
 
-    kp_mask = np.copy(img)
-
-    mid_shoulder = (
-        kps[:2, dataset_keypoints.index("right_shoulder")]
-        + kps[:2, dataset_keypoints.index("left_shoulder")]
-    ) / 2.0
-    sc_mid_shoulder = np.minimum(
-        kps[2, dataset_keypoints.index("right_shoulder")],
-        kps[2, dataset_keypoints.index("left_shoulder")],
-    )
-    mid_hip = (
-        kps[:2, dataset_keypoints.index("right_hip")]
-        + kps[:2, dataset_keypoints.index("left_hip")]
-    ) / 2.0
-    sc_mid_hip = np.minimum(
-        kps[2, dataset_keypoints.index("right_hip")],
-        kps[2, dataset_keypoints.index("left_hip")],
-    )
-    nose_idx = dataset_keypoints.index("nose")
-    if sc_mid_shoulder > kp_thresh and kps[2, nose_idx] > kp_thresh:
-        cv2.line(
-            kp_mask, tuple(mid_shoulder.astype(np.int32)),
-            tuple(kps[:2, nose_idx].astype(np.int32)),
-            color=colors[len(kp_lines)], thickness=2, lineType=cv2.LINE_AA,
-        )
-    if sc_mid_shoulder > kp_thresh and sc_mid_hip > kp_thresh:
-        cv2.line(
-            kp_mask, tuple(mid_shoulder.astype(np.int32)),
-            tuple(mid_hip.astype(np.int32)),
-            color=colors[len(kp_lines) + 1], thickness=2, lineType=cv2.LINE_AA,
-        )
-    for l in range(len(kp_lines)):
-        i1, i2 = kp_lines[l]
-        p1 = kps[0, i1].astype(np.int32), kps[1, i1].astype(np.int32)
-        p2 = kps[0, i2].astype(np.int32), kps[1, i2].astype(np.int32)
-        if kps[2, i1] > kp_thresh and kps[2, i2] > kp_thresh:
-            cv2.line(kp_mask, p1, p2, color=colors[l], thickness=2,
-                     lineType=cv2.LINE_AA)
-        if kps[2, i1] > kp_thresh:
-            cv2.circle(kp_mask, p1, radius=3, color=colors[l], thickness=-1,
-                       lineType=cv2.LINE_AA)
-        if kps[2, i2] > kp_thresh:
-            cv2.circle(kp_mask, p2, radius=3, color=colors[l], thickness=-1,
-                       lineType=cv2.LINE_AA)
-    return cv2.addWeighted(img, 1.0 - alpha, kp_mask, alpha, 0)
+    canvas = img.copy()
+    mid_sh, s_sh = center("right_shoulder", "left_shoulder")
+    mid_hip, s_hip = center("right_hip", "left_hip")
+    nose = names.index("nose")
+    extras = [
+        (mid_sh, s_sh, xy[nose], score[nose]),
+        (mid_sh, s_sh, mid_hip, s_hip),
+    ]
+    for li, (p, sp, q, sq) in enumerate(
+        [(xy[a], score[a], xy[b], score[b]) for a, b in limbs] + extras
+    ):
+        color = color_fn(li + 1)
+        pi = tuple(int(v) for v in p)
+        qi = tuple(int(v) for v in q)
+        if sp > thresh and sq > thresh:
+            cv2.line(canvas, pi, qi, color, 2, lineType=cv2.LINE_AA)
+        if sp > thresh:
+            cv2.circle(canvas, pi, 3, color, -1, lineType=cv2.LINE_AA)
+        if sq > thresh:
+            cv2.circle(canvas, qi, 3, color, -1, lineType=cv2.LINE_AA)
+    return cv2.addWeighted(img, 1.0 - alpha, canvas, alpha, 0)
