@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import shard_batch
+from ..utils import comm
 from ..utils.metric_logger import MetricLogger
 from .train_step import make_train_step
 
@@ -82,7 +83,11 @@ def do_train(
         batch_time = time.time() - end
         end = time.time()
         if iteration % 20 == 0 or iteration == max_iter:
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # reference trainer.py: losses_reduced = reduce_loss_dict(...).
+            # Under the mesh the psum already made every host's loss the
+            # global one, so this is an (idempotent) average; it only does
+            # real work if a setup logs per-host values.
+            metrics = comm.reduce_dict({k: float(v) for k, v in metrics.items()})
             meters.update(time=batch_time, data=data_time, **metrics)
             eta_seconds = meters.meters["time"].global_avg * (max_iter - iteration)
             eta_string = str(datetime.timedelta(seconds=int(eta_seconds)))

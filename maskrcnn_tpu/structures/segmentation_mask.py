@@ -180,6 +180,29 @@ class BinaryMaskList:
     def get_mask_tensor(self):
         return self.masks
 
+    def convert_to_polygon(self):
+        """Outer-contour polygons per instance (reference
+        segmentation_mask.py:160-183: RETR_EXTERNAL + TC89_L1 tracing).
+        Each instance becomes a list of flat [x0, y0, x1, y1, ...] rings;
+        degenerate (<3 point) contours are dropped."""
+        import cv2
+
+        if self.masks.size == 0:
+            return PolygonList([], self.size)
+        instances = []
+        for m in self.masks:
+            contours, _ = cv2.findContours(
+                np.ascontiguousarray(m, np.uint8), cv2.RETR_EXTERNAL,
+                cv2.CHAIN_APPROX_TC89_L1,
+            )
+            rings = [
+                c.reshape(-1).astype(np.float64).tolist()
+                for c in contours
+                if c.shape[0] >= 3
+            ]
+            instances.append(rings)
+        return PolygonList(instances, self.size)
+
     def __len__(self):
         return self.masks.shape[0]
 
@@ -233,7 +256,11 @@ class SegmentationMask:
                 self.size,
                 "mask",
             )
-        raise NotImplementedError("mask -> poly conversion is not supported")
+        # mask -> poly: trace each instance's outer contours (reference
+        # BinaryMaskList.convert_to_polygon, segmentation_mask.py:160-183)
+        return SegmentationMask(
+            self.instances.convert_to_polygon(), self.size, "poly"
+        )
 
     def get_mask_tensor(self):
         t = self.instances.get_mask_tensor()

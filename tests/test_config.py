@@ -72,3 +72,29 @@ def test_yaml_roundtrip(tmp_path):
     c2.merge_from_file(str(p))
     assert c2.SOLVER.BASE_LR == 0.01
     assert isinstance(c2.MODEL, CfgNode)
+
+
+def test_merge_all_shipped_yamls():
+    """Every YAML shipped in configs/ merges cleanly, and the shipped set
+    mirrors the reference's 66-file tree 1:1 when the reference is
+    mounted."""
+    import glob
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    shipped = sorted(
+        os.path.relpath(p, os.path.join(repo, "configs"))
+        for p in glob.glob(os.path.join(repo, "configs", "**", "*.yaml"),
+                           recursive=True)
+    )
+    assert len(shipped) >= 66
+    for rel in shipped:
+        c = cfg.clone()
+        c.merge_from_file(os.path.join(repo, "configs", rel))
+    if os.path.isdir(REFERENCE_CONFIG_DIR):
+        ref = sorted(
+            os.path.relpath(p, REFERENCE_CONFIG_DIR)
+            for p in glob.glob(os.path.join(REFERENCE_CONFIG_DIR, "**", "*.yaml"),
+                               recursive=True)
+        )
+        missing = set(ref) - set(shipped)
+        assert not missing, missing

@@ -13,9 +13,9 @@ from maskrcnn_tpu.config import cfg
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
-def tiny_cfg():
+def tiny_cfg(yaml="e2e_mask_rcnn_R_50_FPN_1x.yaml"):
     c = cfg.clone()
-    c.merge_from_file(os.path.join(CONFIG_DIR, "e2e_mask_rcnn_R_50_FPN_1x.yaml"))
+    c.merge_from_file(os.path.join(CONFIG_DIR, yaml))
     c.MODEL.WEIGHT = ""
     c.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
     c.MODEL.RPN.POST_NMS_TOP_N_TEST = 32
@@ -77,3 +77,18 @@ def test_bbox_aug_union():
     assert len(results) == 1
     assert results[0].size == (140, 100)
     assert len(results[0]) <= c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG
+
+
+def test_coco_demo_c4():
+    """BASELINE config #1: Faster R-CNN R-50-C4 inference via COCODemo —
+    the single-level pooler with the adaptive sampling_ratio=0 grid."""
+    from predictor import COCODemo
+
+    c = tiny_cfg("e2e_faster_rcnn_R_50_C4_1x.yaml")
+    demo = COCODemo(c, confidence_threshold=0.0, min_image_size=96)
+    img = (np.random.RandomState(1).rand(120, 160, 3) * 255).astype(np.uint8)
+    out = demo.run_on_opencv_image(img)
+    assert out.shape == img.shape
+    preds = demo.compute_prediction(img)
+    assert preds.size == (160, 120)
+    assert np.isfinite(np.asarray(preds.bbox)).all()

@@ -62,7 +62,9 @@ def make_batch(b=2, h=96, w=128, with_targets=False, num_kp=17):
 
 CONFIGS = [
     "e2e_faster_rcnn_R_50_FPN_1x.yaml",
+    "e2e_faster_rcnn_R_50_C4_1x.yaml",
     "e2e_mask_rcnn_R_50_FPN_1x.yaml",
+    "e2e_mask_rcnn_R_50_C4_1x.yaml",
     "e2e_keypoint_rcnn_R_50_FPN_1x.yaml",
     "retinanet/retinanet_R-50-FPN_1x.yaml",
     "rpn_R_50_FPN_1x.yaml",

@@ -116,3 +116,26 @@ def test_rle_iou():
     np.testing.assert_allclose(iou, [[30 / 70]], atol=1e-9)
     crowd = maskops.rle_iou([ra], [rb], iscrowd=[True])
     np.testing.assert_allclose(crowd, [[30 / 50]], atol=1e-9)
+
+
+def test_mask_to_polygon_roundtrip():
+    """mask -> poly conversion (BinaryMaskList.convert_to_polygon) followed
+    by re-rasterization recovers the original masks."""
+    import numpy as np
+
+    from maskrcnn_tpu.structures.segmentation_mask import SegmentationMask
+
+    h, w = 60, 80
+    m = np.zeros((2, h, w), np.uint8)
+    m[0, 10:40, 15:50] = 1                 # rectangle
+    m[1, 5:25, 5:30] = 1                   # L-shape
+    m[1, 25:50, 5:15] = 1
+    sm = SegmentationMask(m, (w, h), mode="mask")
+    poly = sm.convert("poly")
+    assert poly.mode == "poly"
+    back = np.asarray(poly.get_mask_tensor()).astype(bool)
+    orig = m.astype(bool)
+    for i in range(2):
+        inter = (back[i] & orig[i]).sum()
+        union = (back[i] | orig[i]).sum()
+        assert inter / union > 0.9, (i, inter / union)
