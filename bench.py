@@ -35,14 +35,21 @@ def main():
     h, w = 800, 1344
     g = c.TPU.MAX_GT_BOXES
     rs = np.random.RandomState(0)
+    # realistic COCO-like GT statistics: per-image instance counts follow a
+    # heavy-tailed distribution (mean ~7, occasional crowded images) and
+    # box sizes skew small — NMS/matching/sampling cost depends on both
     gt_boxes = np.zeros((b, g, 4), np.float32)
-    n_gt = 20
-    ctr = rs.uniform(100, 700, (b, n_gt, 2))
-    wh = rs.uniform(40, 300, (b, n_gt, 2))
-    gt_boxes[:, :n_gt, :2] = ctr - wh / 2
-    gt_boxes[:, :n_gt, 2:] = ctr + wh / 2
     gt_labels = np.zeros((b, g), np.int32)
-    gt_labels[:, :n_gt] = rs.randint(1, 81, (b, n_gt))
+    for i in range(b):
+        n_gt = int(np.clip(rs.lognormal(mean=1.7, sigma=0.8), 1, g))
+        side = np.exp(rs.uniform(np.log(16), np.log(500), (n_gt, 2)))
+        ctr = rs.uniform(0, 1, (n_gt, 2)) * np.array([w - 1, h - 1])
+        lo = np.clip(ctr - side / 2, 0, None)
+        hi = np.minimum(ctr + side / 2, [w - 1, h - 1])
+        hi = np.maximum(hi, lo + 2)
+        gt_boxes[i, :n_gt, :2] = lo
+        gt_boxes[i, :n_gt, 2:] = hi
+        gt_labels[i, :n_gt] = rs.randint(1, 81, n_gt)
     batch = dict(
         images=rs.randn(b, h, w, 3).astype(np.float32),
         image_sizes=np.asarray([[800, 1333]] * b, np.int32),

@@ -7,6 +7,10 @@ from maskrcnn_tpu.config import cfg
 from maskrcnn_tpu.solver import make_optimizer
 from maskrcnn_tpu.utils.checkpoint import Checkpointer
 
+import pytest
+
+pytestmark = pytest.mark.heavy
+
 
 def make_params(key):
     k1, k2 = jax.random.split(key)

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 
 def _free_port():
     s = socket.socket()

@@ -23,6 +23,8 @@ from maskrcnn_tpu.solver import make_optimizer
 
 from synthetic_coco import make_synthetic_coco
 
+pytestmark = pytest.mark.heavy
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 

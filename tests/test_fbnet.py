@@ -14,6 +14,8 @@ from maskrcnn_tpu.config import cfg
 from maskrcnn_tpu.models import build_detection_model
 from maskrcnn_tpu.models.fbnet import MODEL_ARCH, FBNetPlan, build_fbnet_backbone
 
+pytestmark = pytest.mark.heavy
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
