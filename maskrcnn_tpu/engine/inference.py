@@ -64,6 +64,7 @@ def detections_to_boxlists(det, image_sizes):
     valid = np.asarray(det["valid"])
     masks = np.asarray(det["masks"]) if "masks" in det else None
     kps = np.asarray(det["keypoints"]) if "keypoints" in det else None
+    heatmaps = np.asarray(det["kp_heatmaps"]) if "kp_heatmaps" in det else None
 
     out = []
     for i in range(boxes.shape[0]):
@@ -74,7 +75,15 @@ def detections_to_boxlists(det, image_sizes):
         bl.add_field("labels", labels[i][v])
         if masks is not None:
             bl.add_field("mask", masks[i][v])
-        if kps is not None:
+        if heatmaps is not None:
+            # exact cv2-bicubic decode on host (reference inference.py:40-98)
+            from ..models.roi_heads.keypoint_head import (
+                heatmaps_to_keypoints_exact,
+            )
+
+            decoded = heatmaps_to_keypoints_exact(heatmaps[i][v], boxes[i][v])
+            bl.add_field("keypoints", DetectionKeypoints(decoded, (w, h)))
+        elif kps is not None:
             bl.add_field("keypoints", DetectionKeypoints(kps[i][v], (w, h)))
         out.append(bl)
     return out

@@ -431,6 +431,12 @@ class GeneralizedRCNN:
             kps = kh.heatmaps_to_keypoints(kp_logits, det_flat)  # [B*D, K, 4]
             d = detections["boxes"].shape[1]
             detections["keypoints"] = kps.reshape(b, d, kps.shape[1], 4)
+            # raw heatmaps ride along so the host can run the exact cv2
+            # bicubic decode (reference keypoint_head/inference.py:40-98)
+            hh = kp_logits.shape[1]
+            detections["kp_heatmaps"] = kp_logits.astype(jnp.float32).reshape(
+                b, d, hh, hh, kp_logits.shape[-1]
+            )
         return detections
 
 

@@ -131,12 +131,49 @@ def keypoints_within_box_filter(keypoints, gt_boxes):
 # -- decode (inference) -----------------------------------------------------------
 
 
-def heatmaps_to_keypoints(kp_logits, rois):
-    """Decode heatmaps to (x, y, logit, prob) per keypoint.
+def heatmaps_to_keypoints_exact(maps, rois):
+    """Host-side decode, bit-matching the reference's
+    keypoint_head/inference.py:40-98: per ROI, resize the [H, H, K] heatmap
+    to the ceil'd roi size with cv2 bicubic, argmax per keypoint, and map
+    the discrete maximum back with the Heckbert +0.5 convention.
 
-    Reference inference.py:40-98 resizes each heatmap to the roi with cv2
-    bicubic then argmaxes; we argmax on an upsampled grid and map bin
-    centers back to image coords (batched, jit-safe).
+    maps: [R, H, H, K] float32 numpy (NHWC); rois: [R, 4] numpy.
+    Returns [R, K, 4] (x, y, 1, logit-at-max) in image coordinates.
+    """
+    import cv2
+    import numpy as onp
+
+    maps = onp.asarray(maps, onp.float32)
+    rois = onp.asarray(rois, onp.float32)
+    r, _, _, k = maps.shape
+    out = onp.zeros((r, k, 4), onp.float32)
+    widths = onp.maximum(rois[:, 2] - rois[:, 0], 1)
+    heights = onp.maximum(rois[:, 3] - rois[:, 1], 1)
+    wc = onp.ceil(widths).astype(int)
+    hc = onp.ceil(heights).astype(int)
+    for i in range(r):
+        roi_map = cv2.resize(
+            maps[i], (wc[i], hc[i]), interpolation=cv2.INTER_CUBIC
+        )
+        if roi_map.ndim == 2:
+            roi_map = roi_map[:, :, None]
+        w = roi_map.shape[1]
+        flat = roi_map.reshape(-1, k)
+        pos = flat.argmax(axis=0)
+        x_int = pos % w
+        y_int = (pos - x_int) // w
+        out[i, :, 0] = (x_int + 0.5) * (widths[i] / wc[i]) + rois[i, 0]
+        out[i, :, 1] = (y_int + 0.5) * (heights[i] / hc[i]) + rois[i, 1]
+        out[i, :, 2] = 1.0
+        out[i, :, 3] = flat[pos, onp.arange(k)]
+    return out
+
+
+def heatmaps_to_keypoints(kp_logits, rois):
+    """Decode heatmaps to (x, y, logit, prob) per keypoint — the jit-safe
+    on-device approximation (fixed 4x bilinear upsample + argmax) of the
+    exact host decode above; the inference engine prefers the exact one
+    when heatmaps reach the host.
 
     kp_logits [R, H, H, K]; rois [R, 4]. Returns [R, K, 4] (x, y, logit,
     prob) in image coordinates.
