@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Op-level TPU profile of the Mask R-CNN train step.
+
+Captures a jax.profiler trace of a few steady-state train steps on the
+attached chip, then parses the perfetto trace JSON and aggregates device
+time by fused-op name. This is how we find the next kernel to optimize
+(reference has no equivalent; SURVEY.md §5.1 notes it only wall-clocks).
+
+Run: python tools/profile_train.py [BATCH]
+"""
+
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+
+def build_step(b):
+    from __graft_entry__ import _flagship_cfg
+    from maskrcnn_tpu.engine.train_step import make_train_step
+    from maskrcnn_tpu.models import build_detection_model
+    from maskrcnn_tpu.solver import make_optimizer
+
+    c = _flagship_cfg(tiny=False)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(c, params, model.frozen_mask(params))
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, donate=False)
+
+    h, w = 800, 1344
+    g = c.TPU.MAX_GT_BOXES
+    rs = np.random.RandomState(0)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_labels = np.zeros((b, g), np.int32)
+    for i in range(b):
+        n = int(np.clip(rs.lognormal(1.7, 0.8), 1, g))
+        side = np.exp(rs.uniform(np.log(16), np.log(500), (n, 2)))
+        ctr = rs.uniform(0, 1, (n, 2)) * np.array([w - 1, h - 1])
+        lo = np.clip(ctr - side / 2, 0, None)
+        hi = np.maximum(np.minimum(ctr + side / 2, [w - 1, h - 1]), lo + 2)
+        gt_boxes[i, :n, :2] = lo
+        gt_boxes[i, :n, 2:] = hi
+        gt_labels[i, :n] = rs.randint(1, 81, n)
+    mg = c.TPU.GT_MASK_SIZE  # pre-rasterized gt mask patches ride with the batch
+    batch = {
+        "images": rs.randn(b, h, w, 3).astype(np.float32),
+        "image_sizes": np.asarray([[800, 1333]] * b, np.int32),
+        "gt_boxes": gt_boxes,
+        "gt_labels": gt_labels,
+        "gt_masks": (rs.rand(b, g, mg, mg) > 0.5).astype(np.uint8),
+    }
+    batch = jax.tree.map(jax.numpy.asarray, batch)
+    return step, params, opt_state, batch
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    step, params, opt_state, batch = build_step(b)
+    rng = jax.random.PRNGKey(1)
+
+    # warm up / compile (scalar fetch: block_until_ready under-reports
+    # through the axon tunnel — see bench.py)
+    out = step(params, opt_state, batch, rng)
+    float(out[2]["loss"])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = step(params, opt_state, batch, rng)
+    float(out[2]["loss"])
+    dt = (time.perf_counter() - t0) / 5
+    print(f"steady-state: {dt * 1000:.1f} ms/step, {b / dt:.2f} img/s")
+
+    logdir = tempfile.mkdtemp(prefix="jaxprof_")
+    with jax.profiler.trace(logdir):
+        for _ in range(3):
+            out = step(params, opt_state, batch, rng)
+        jax.block_until_ready(out)
+
+    traces = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not traces:
+        print("no trace produced under", logdir)
+        return
+    with gzip.open(traces[0], "rt") as f:
+        trace = json.load(f)
+
+    events = trace.get("traceEvents", [])
+    # device-track complete events carry op names; host threads are noise here
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
+
+    agg = defaultdict(float)
+    meta = {}
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_"):  # program envelope, not an op
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        agg[name] += dur
+        total += dur
+        args = e.get("args") or {}
+        src = args.get("tf_op") or args.get("long_name") or args.get("source") or ""
+        if src and name not in meta:
+            meta[name] = str(src)[:110]
+
+    print(f"\ndevice op total: {total / 3:.1f} ms/step")
+    print(f"{'op':44s} {'ms/step':>8s} {'%':>5s}  origin")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"{k[:44]:44s} {v / 3:8.2f} {100 * v / total:5.1f}  {meta.get(k, '')}")
+
+
+if __name__ == "__main__":
+    main()
