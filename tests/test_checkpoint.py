@@ -77,3 +77,24 @@ def test_partial_load_keeps_template(tmp_path):
         np.asarray(loaded["backbone"]["stem"]["conv1"]["w"]),
         np.asarray(params["backbone"]["stem"]["conv1"]["w"]),
     )
+
+
+def test_none_placeholder_leaves_roundtrip(tmp_path):
+    """Param trees may contain None placeholders (e.g. the RetinaNet FPN has
+    no P2 lateral, models/fpn.py init_fpn). Save must skip them and load
+    must restore them structurally — not as object arrays."""
+    params = {
+        "fpn": {"inner": [None, {"w": np.ones((2, 2), np.float32)}],
+                "layer": [None, {"w": np.zeros((3,), np.float32)}]},
+    }
+    ck = Checkpointer(save_dir=str(tmp_path), save_to_disk=True)
+    ck.save("model_0000001", params)
+    template = {
+        "fpn": {"inner": [None, {"w": np.zeros((2, 2), np.float32)}],
+                "layer": [None, {"w": np.ones((3,), np.float32)}]},
+    }
+    loaded, _, _ = ck.load(params=template)
+    assert loaded["fpn"]["inner"][0] is None
+    assert loaded["fpn"]["layer"][0] is None
+    np.testing.assert_array_equal(loaded["fpn"]["inner"][1]["w"], np.ones((2, 2)))
+    np.testing.assert_array_equal(loaded["fpn"]["layer"][1]["w"], np.zeros((3,)))

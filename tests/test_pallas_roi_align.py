@@ -36,6 +36,39 @@ def test_pallas_pooler_matches_gather_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.parametrize("bwd_impl", ["rmw", "scatter"])
+def test_pallas_trainable_pooler_grads_match_gather(bwd_impl):
+    """The custom_vjp backward (window-merged RMW kernel / XLA windowed
+    scatter) must produce the same feature gradients as autodiff through
+    the exact gather pooler."""
+    from maskrcnn_tpu.ops.pallas.roi_align_kernel import make_trainable_roi_align
+
+    feats, pcfg, rois, bidx = _setup()
+    cot = jnp.asarray(
+        np.random.RandomState(1).randn(rois.shape[0], 7, 7, 128), jnp.float32
+    )
+
+    def loss_gather(fs):
+        out = multilevel_roi_align(
+            list(fs), rois, bidx, pcfg, compute_dtype=jnp.float32
+        )
+        return (out * cot).sum()
+
+    fn = make_trainable_roi_align(
+        pcfg, compute_dtype=jnp.float32, bwd_impl=bwd_impl, interpret=True
+    )
+
+    def loss_pallas(fs):
+        return (fn(tuple(fs), rois, bidx).astype(jnp.float32) * cot).sum()
+
+    g_ref = jax.grad(loss_gather)(feats)
+    g_got = jax.grad(loss_pallas)(feats)
+    for gr, gg in zip(g_ref, g_got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gr), atol=2e-3, rtol=1e-3
+        )
+
+
 def test_pallas_pooler_channel_constraint():
     feats, pcfg, rois, bidx = _setup(c=64)
     with pytest.raises(AssertionError):

@@ -629,3 +629,73 @@ def test_box_head_loss_module_parity():
     assert abs(float(my_box_loss) - float(ref_box_loss)) < 1e-4, (
         float(my_box_loss), float(ref_box_loss)
     )
+
+
+def test_retinanet_full_model_inference_parity():
+    """RetinaNet single-stage path: same weights, same image -> same
+    detections (reference retinanet/inference.py:59-174). At random init
+    the prior-prob bias puts every sigmoid score near 0.01, so the
+    inference threshold is dropped and the candidate set kept small to
+    stay off top-k tie boundaries."""
+    import torch
+
+    yaml = "/root/reference/configs/retinanet/retinanet_R-50-FPN_1x.yaml"
+    opts = [
+        "MODEL.RETINANET.INFERENCE_TH", "0.00001",
+        "MODEL.RETINANET.PRE_NMS_TOP_N", "100",
+        "TEST.DETECTIONS_PER_IMG", "20",
+    ]
+    ref_cfg = fresh_ref_cfg(yaml, opts)
+    from maskrcnn_benchmark.modeling.detector import build_detection_model as ref_build
+    from maskrcnn_benchmark.structures.image_list import to_image_list as ref_to_image_list
+
+    torch.manual_seed(0)
+    ref_model = ref_build(ref_cfg)
+    ref_model.eval()
+
+    h, w = 224, 256
+    x = (np.random.RandomState(5).rand(h, w, 3) * 200 - 100).astype(np.float32)
+    with torch.no_grad():
+        img_list = ref_to_image_list(torch.from_numpy(x.transpose(2, 0, 1)), 32)
+        (ref_out,) = ref_model(img_list)
+    ref_boxes = ref_out.bbox.numpy()
+    ref_scores = ref_out.get_field("scores").numpy()
+    ref_labels = ref_out.get_field("labels").numpy()
+
+    from maskrcnn_tpu.models import build_detection_model as my_build
+
+    c = _my_cfg(yaml, opts)
+    c.freeze()
+    my_model = my_build(c)
+    params = my_model.init(jax.random.PRNGKey(0))
+    state = torch_state_to_numpy(ref_model)
+    params = load_torchstyle_state(state, params)
+
+    batch = dict(
+        images=jnp.asarray(x[None]),
+        image_sizes=jnp.asarray([[h, w]], jnp.int32),
+    )
+    det = my_model.infer_forward(params, batch)
+    v = np.asarray(det["valid"][0])
+    my_boxes = np.asarray(det["boxes"][0])[v]
+    my_scores = np.asarray(det["scores"][0])[v]
+    my_labels = np.asarray(det["labels"][0])[v]
+
+    assert len(my_scores) == len(ref_scores), (len(my_scores), len(ref_scores))
+    o1 = np.argsort(-my_scores)
+    o2 = np.argsort(-ref_scores)
+    np.testing.assert_allclose(my_scores[o1], ref_scores[o2], atol=1e-3)
+    np.testing.assert_array_equal(np.sort(my_labels), np.sort(ref_labels))
+    used = np.zeros(len(ref_scores), bool)
+    for i in range(len(my_scores)):
+        found = False
+        for j in range(len(ref_scores)):
+            if used[j] or my_labels[i] != ref_labels[j]:
+                continue
+            if abs(my_scores[i] - ref_scores[j]) > 2e-3:
+                continue
+            if np.abs(my_boxes[i] - ref_boxes[j]).max() < 1.0:
+                used[j] = True
+                found = True
+                break
+        assert found, (i, my_boxes[i], my_scores[i], my_labels[i])
