@@ -21,3 +21,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by repeated
+# full-model CPU jit compiles (test_models / demo / e2e). Caching them on
+# disk makes re-runs start-up-bound instead of compile-bound.
+_cache_dir = os.environ.get(
+    "MASKRCNN_TPU_TEST_CACHE", os.path.expanduser("~/.cache/maskrcnn_tpu_xla")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

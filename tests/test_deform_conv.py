@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,7 @@ def test_deform_conv_grads():
         assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.heavy
 def test_dcn_resnet_builds():
     from maskrcnn_tpu.config import cfg
     from maskrcnn_tpu.models.backbone import build_backbone

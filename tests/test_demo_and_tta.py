@@ -6,6 +6,9 @@ import pytest
 
 import jax
 
+# every test here jit-compiles the full demo model on CPU (~0.5-1.5 min each)
+pytestmark = pytest.mark.heavy
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
 
 from maskrcnn_tpu.config import cfg

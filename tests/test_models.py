@@ -60,15 +60,21 @@ def make_batch(b=2, h=96, w=128, with_targets=False, num_kp=17):
     return batch
 
 
+# Fast subset keeps one config per distinct code path (FPN+mask, C4, and the
+# single-stage RetinaNet); the remaining permutations compile the same stages
+# and run under -m heavy.
 CONFIGS = [
-    "e2e_faster_rcnn_R_50_FPN_1x.yaml",
+    pytest.param("e2e_faster_rcnn_R_50_FPN_1x.yaml", marks=pytest.mark.heavy),
     "e2e_faster_rcnn_R_50_C4_1x.yaml",
     "e2e_mask_rcnn_R_50_FPN_1x.yaml",
-    "e2e_mask_rcnn_R_50_C4_1x.yaml",
-    "e2e_keypoint_rcnn_R_50_FPN_1x.yaml",
+    pytest.param("e2e_mask_rcnn_R_50_C4_1x.yaml", marks=pytest.mark.heavy),
+    pytest.param("e2e_keypoint_rcnn_R_50_FPN_1x.yaml", marks=pytest.mark.heavy),
     "retinanet/retinanet_R-50-FPN_1x.yaml",
-    "rpn_R_50_FPN_1x.yaml",
-    "gn_baselines/e2e_mask_rcnn_R_50_FPN_1x_gn.yaml",
+    pytest.param("rpn_R_50_FPN_1x.yaml", marks=pytest.mark.heavy),
+    pytest.param(
+        "gn_baselines/e2e_mask_rcnn_R_50_FPN_1x_gn.yaml",
+        marks=pytest.mark.heavy,
+    ),
 ]
 
 

@@ -110,7 +110,9 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
-        if name.startswith("jit_"):  # program envelope, not an op
+        # skip envelopes, not ops: jit program spans and the "Steps" track
+        # whose events are named by bare step number and span the whole step
+        if name.startswith("jit_") or name.isdigit():
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
         agg[name] += dur
@@ -121,7 +123,25 @@ def main():
             meta[name] = str(src)[:110]
 
     print(f"\ndevice op total: {total / 3:.1f} ms/step")
-    print(f"{'op':44s} {'ms/step':>8s} {'%':>5s}  origin")
+
+    # rollup by op family: which phase owns the time
+    cats = defaultdict(float)
+    for k, v in agg.items():
+        src = meta.get(k, "")
+        bwd = "transpose(" in src
+        if "pallas_call" in src:
+            c = "pallas bwd" if bwd else "pallas fwd"
+        elif "conv_general_dilated" in src or "dot_general" in src:
+            c = "matmul/conv bwd" if bwd else "matmul/conv fwd"
+        elif "top_k" in src or "sort" in k:
+            c = "sort/top_k"
+        else:
+            c = "other bwd" if bwd else "other"
+        cats[c] += v
+    for c, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {c:20s} {v / 3:8.2f} ms/step {100 * v / total:5.1f}%")
+
+    print(f"\n{'op':44s} {'ms/step':>8s} {'%':>5s}  origin")
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
         print(f"{k[:44]:44s} {v / 3:8.2f} {100 * v / total:5.1f}  {meta.get(k, '')}")
 
