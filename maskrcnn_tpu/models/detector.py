@@ -314,9 +314,13 @@ class GeneralizedRCNN:
             x = self._run_mask_extractor(
                 params, features, pos_flat, pos_batch, pooler_backend=pb
             )
-            mask_logits = mh.apply_mask_predictor(
-                params["roi_heads"]["mask"]["predictor"], x, cfg, self.compute_dtype
-            )  # [B*Km, M, M, C]
+            # gt-class-only logits: the loss never reads the other C-1
+            # channels, and skipping them avoids a [B*Km, M, M, C] f32
+            # zeros+scatter in the backward pass
+            mask_logits = mh.apply_mask_predictor_at_class(
+                params["roi_heads"]["mask"]["predictor"], x,
+                pos_labels.reshape(-1), cfg, self.compute_dtype
+            )  # [B*Km, M, M]
             # gather matched gt mask patches
             gt_masks = batch["gt_masks"].astype(jnp.float32)  # [B, G, S, S]
             patches = jax.vmap(lambda p, i: p[i])(gt_masks, pos_mg)  # [B,Km,S,S]
@@ -330,8 +334,8 @@ class GeneralizedRCNN:
                 pos_flat,
                 m_res,
             )
-            losses["loss_mask"] = mh.mask_head_loss(
-                mask_logits, tgt, pos_labels.reshape(-1), pos_valid.reshape(-1)
+            losses["loss_mask"] = mh.mask_head_loss_picked(
+                mask_logits, tgt, pos_valid.reshape(-1)
             )
 
         if self.keypoint_on:

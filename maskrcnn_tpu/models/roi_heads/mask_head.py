@@ -99,6 +99,32 @@ def apply_mask_predictor(params, x, cfg, compute_dtype=jnp.bfloat16):
     )
 
 
+def apply_mask_predictor_at_class(params, x, labels, cfg,
+                                  compute_dtype=jnp.bfloat16):
+    """Training-path predictor: logits ONLY at each ROI's gt class.
+
+    The loss consumes one class channel per ROI, so materializing the full
+    [R, M, M, C] map (and its [R, M, M, C] f32 zeros+scatter in backward —
+    ~260 MB at R=1024, C=81) is wasted HBM traffic. Gathering the 1x1-conv
+    weight column per ROI first makes the predictor a per-ROI matvec with a
+    [R, M, M] output; same math as apply_mask_predictor + gather-at-class
+    (reference computes the full map then indexes, mask_head/loss.py:139).
+    Returns [R, M, M] float32.
+    """
+    if cfg.MODEL.ROI_MASK_HEAD.PREDICTOR == "MaskRCNNC4Predictor":
+        x = relu(conv_transpose2d(x, params["conv5_mask"], stride=2,
+                                  compute_dtype=compute_dtype))
+    p = params["mask_fcn_logits"]
+    w = p["w"][0, 0]  # [D, C]
+    c = w.shape[1]
+    safe = jnp.clip(labels, 0, c - 1)
+    wl = jnp.take(w, safe, axis=1).T.astype(compute_dtype)  # [R, D]
+    out = jnp.einsum("rhwd,rd->rhw", x.astype(compute_dtype), wl)
+    if "b" in p:
+        out = out + jnp.take(p["b"], safe).astype(compute_dtype)[:, None, None]
+    return out.astype(jnp.float32)
+
+
 def init_mask_head(key, cfg, in_channels):
     k1, k2 = jax.random.split(key)
     fe, out = init_mask_feature_extractor(k1, cfg, in_channels)
@@ -194,6 +220,13 @@ def mask_head_loss(mask_logits, mask_targets, labels, valid):
     picked = jnp.take_along_axis(
         mask_logits, safe[:, None, None, None], axis=3
     )[..., 0]
+    return mask_head_loss_picked(picked, mask_targets, valid)
+
+
+def mask_head_loss_picked(picked, mask_targets, valid):
+    """BCE given pre-gathered gt-class logits [R, M, M] (see
+    apply_mask_predictor_at_class); targets [R, M, M]; valid [R]."""
+    m = picked.shape[1]
     t = (mask_targets >= 0.5).astype(jnp.float32)
     per = jax.nn.softplus(picked) - picked * t  # BCE with logits
     w = valid.astype(jnp.float32)[:, None, None]

@@ -96,17 +96,29 @@ def _kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
             cp.start()
             cp.wait()
 
-    patch = patch_ref[:, :, :].astype(jnp.float32).reshape(PATCH_Y, PATCH_W * c)
-    roww = roww_ref[0]  # [P, PATCH_Y]
-    a = jnp.dot(roww, patch, preferred_element_type=jnp.float32)
+    patch = patch_ref[:, :, :].reshape(PATCH_Y, PATCH_W * c)
+    roww = roww_ref[0]  # [P, PATCH_Y] f32
+    if patch.dtype == jnp.float32:
+        a = jnp.dot(roww, patch, preferred_element_type=jnp.float32)
+    else:
+        # split-f32 matmul: keep the (bf16) patch un-cast — the 800K-element
+        # f32 cast per ROI costs more than the matmul — and recover f32
+        # weight precision as hi+lo bf16 passes (error ~2^-16 relative)
+        hi = roww.astype(jnp.bfloat16)
+        lo = (roww - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a = jnp.dot(hi, patch, preferred_element_type=jnp.float32) + jnp.dot(
+            lo, patch, preferred_element_type=jnp.float32
+        )
     a = a.reshape(p, PATCH_W, c)
 
-    def col_step(q, _):
-        w = colw_ref[0, pl.ds(q, 1), :]  # [1, PATCH_W]
-        out_ref[0, :, q, :] = jnp.sum(a * w.reshape(1, PATCH_W, 1), axis=1)
-        return 0
-
-    jax.lax.fori_loop(0, p, col_step, 0)
+    # column contraction as p small MXU matmuls (a VPU sweep of `a` per
+    # output column is ~2 us/ROI; the MXU does it in ~0.1):
+    # out[pi, q, ch] = sum_w colw[q, w] * a[pi, w, ch]
+    colw = colw_ref[0]  # [P, PATCH_W] f32
+    for pi in range(p):
+        out_ref[0, pi] = jnp.dot(
+            colw, a[pi].astype(jnp.float32), preferred_element_type=jnp.float32
+        )
 
 
 def _bin_weights(coords, mask, n_bins, s, patch_extent):
@@ -226,7 +238,6 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
     perm, newg, lvl, bidx, y0, x0, roww, colw = _precompute(
         features, boxes, batch_idx, pcfg
     )
-
     kernel = functools.partial(_kernel, num_levels=num_levels, p=p, c=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -257,24 +268,31 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
 
 
 def _bwd_kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
-                roww_ref, da_ref, *rest, num_levels, p, c, r_total):
+                roww_ref, colw_ref, dout_ref, *rest, num_levels, p, c, r_total):
     """Accumulate each window group's dPatch sum in VMEM, then ONE RMW round
-    trip per unique window into the per-level gradient buffers. dA (the
-    column-unmixed cotangent) is precomputed in jnp outside; the TPU grid is
-    sequential, so overlapping windows accumulate without races."""
+    trip per unique window into the per-level gradient buffers. Both weight
+    contractions (column-unmix and row-unmix) happen in-kernel as MXU dots
+    from the tiny [P, P, C] cotangent block — materializing the unmixed
+    [R, P, PATCH_W, C] tensor in HBM (1.6 GB at R=4096) costs more than the
+    matmuls. The TPU grid is sequential, so overlapping windows accumulate
+    without races."""
     zin_refs = rest[:num_levels]              # aliased zero-init inputs
     grad_refs = rest[num_levels:2 * num_levels]  # outputs (aliased)
-    acc_ref, tmp_ref, sem = rest[2 * num_levels:]
+    t_ref, acc_ref, tmp_ref, sem = rest[2 * num_levels:]
     del zin_refs  # same memory as grad_refs via input_output_aliases
 
     i = pl.program_id(0)
     j = perm_ref[i]
 
-    # dPatch = RowW^T @ dA  (contract the P dim of both; avoids transpose)
     roww = roww_ref[0]  # [P, PATCH_Y]
-    da = da_ref[0].astype(jnp.float32).reshape(p, PATCH_W * c)
+    colw_t = colw_ref[0].T  # [PATCH_W, P]
+    dout = dout_ref[0].astype(jnp.float32)  # [P, P, C]
+    # stage 1 (column-unmix): dA[pi, x, ch] = sum_q colw[q, x] dout[pi, q, ch]
+    for pi in range(p):
+        t_ref[pi] = jnp.dot(colw_t, dout[pi], preferred_element_type=jnp.float32)
+    # stage 2 (row-unmix): dPatch = RowW^T @ dA (contract P; avoids transpose)
     dpatch = jax.lax.dot_general(
-        roww, da,
+        roww, t_ref[:, :, :].reshape(p, PATCH_W * c),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(PATCH_Y, PATCH_W, c)
@@ -312,11 +330,6 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout,
     c = shapes[0][-1]
     r = dout.shape[0]
     zeros = [jnp.zeros(s, jnp.float32) for s in shapes]
-    # column-unmix the cotangent outside the kernel (batched matmul):
-    # dA[r, pr, px, ch] = sum_q colw[r, q, px] * dout[r, pr, q, ch]
-    da = jnp.einsum(
-        "rqp,rsqc->rspc", colw.astype(jnp.float32), dout.astype(jnp.float32)
-    )
 
     kernel = functools.partial(
         _bwd_kernel, num_levels=num_levels, p=p, c=c, r_total=r
@@ -327,13 +340,16 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout,
         in_specs=[
             pl.BlockSpec((1, p, PATCH_Y), lambda i, perm, *_: (perm[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, PATCH_W, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
+            pl.BlockSpec((1, p, PATCH_W), lambda i, perm, *_: (perm[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, p, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes],
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes
         ),
         scratch_shapes=[
+            pltpu.VMEM((p, PATCH_W, c), jnp.float32),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -344,11 +360,11 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout,
         grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes),
         input_output_aliases={
-            8 + i: i for i in range(num_levels)  # 6 prefetch + 2 vector ins
+            9 + i: i for i in range(num_levels)  # 6 prefetch + 3 vector ins
         },
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(perm, newg, lvl, bidx, y0, x0, roww, da, *zeros)
+    )(perm, newg, lvl, bidx, y0, x0, roww, colw, dout, *zeros)
     return grads
 
 

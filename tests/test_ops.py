@@ -288,3 +288,43 @@ def test_roi_align_grad_flows():
     g = jax.grad(f)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_mask_predictor_at_class_matches_full():
+    # the train-path per-class predictor must equal full-map + class gather
+    from maskrcnn_tpu.models.roi_heads.mask_head import (
+        apply_mask_predictor,
+        apply_mask_predictor_at_class,
+        mask_head_loss,
+        mask_head_loss_picked,
+    )
+    from maskrcnn_tpu.config import cfg
+
+    c = cfg.clone()
+    c.MODEL.ROI_MASK_HEAD.PREDICTOR = "MaskRCNNC4Predictor"
+    c.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 9
+    rng = np.random.RandomState(3)
+    r, d, cdim = 6, 16, 9
+    params = {
+        "conv5_mask": {
+            "w": jnp.asarray(rng.randn(2, 2, d, d).astype(np.float32) * 0.1),
+            "b": jnp.asarray(rng.randn(d).astype(np.float32) * 0.1),
+        },
+        "mask_fcn_logits": {
+            "w": jnp.asarray(rng.randn(1, 1, d, cdim).astype(np.float32) * 0.1),
+            "b": jnp.asarray(rng.randn(cdim).astype(np.float32) * 0.1),
+        },
+    }
+    x = jnp.asarray(rng.randn(r, 7, 7, d).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, cdim, r), jnp.int32)
+
+    full = apply_mask_predictor(params, x, c, compute_dtype=jnp.float32)
+    picked_ref = jnp.take_along_axis(full, labels[:, None, None, None], axis=3)[..., 0]
+    picked = apply_mask_predictor_at_class(params, x, labels, c, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(picked), np.asarray(picked_ref), atol=1e-5)
+
+    tgt = jnp.asarray((rng.rand(r, 14, 14) > 0.5).astype(np.float32))
+    valid = jnp.asarray(rng.rand(r) > 0.3)
+    l_full = mask_head_loss(full, tgt, labels, valid)
+    l_picked = mask_head_loss_picked(picked, tgt, valid)
+    np.testing.assert_allclose(float(l_full), float(l_picked), atol=1e-6)
