@@ -286,3 +286,11 @@ _C.TPU.MESH_SHAPE = (-1,)
 # ROI pooler backend: "auto" (Pallas patch-DMA kernel on TPU inference,
 # gather elsewhere), "gather", or "pallas".
 _C.TPU.POOLER_BACKEND = "auto"
+# Normalize images on DEVICE instead of in the host loader: the pipeline
+# stays uint8 end-to-end (the reference is uint8 until after Resize too),
+# making host->device transfer and worker IPC 4x smaller and removing the
+# per-image LUT pass from the host loader. The model applies the exact
+# (pixel - mean) / std float32 math and re-zeroes the padded region, so
+# values are bit-identical to host normalization. False = reference-style
+# host Normalize (float32 batches).
+_C.TPU.DEVICE_NORMALIZE = True

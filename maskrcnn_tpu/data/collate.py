@@ -84,7 +84,9 @@ class BatchCollator:
         bh, bw = pick_bucket(self.buckets, max_h, max_w)
 
         n = len(images)
-        out_images = np.zeros((n, bh, bw, 3), np.float32)
+        # uint8 when normalization is deferred to the device
+        # (TPU.DEVICE_NORMALIZE): 4x less pickle/transfer than float32
+        out_images = np.zeros((n, bh, bw, 3), images[0].dtype)
         image_sizes = np.zeros((n, 2), np.int32)
         for i, im in enumerate(images):
             h, w = im.shape[:2]

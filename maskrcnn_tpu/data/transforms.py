@@ -181,7 +181,12 @@ def build_transforms(cfg, is_train=True):
     if flip_v > 0:
         ts.append(RandomVerticalFlip(flip_v))
     ts.append(ToArray())
-    ts.append(
-        Normalize(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255)
-    )
+    if not cfg.TPU.DEVICE_NORMALIZE:
+        ts.append(
+            Normalize(
+                cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255
+            )
+        )
+    # else: images stay uint8 RGB through the collator and the wire; the
+    # model applies the identical normalization on device (detector.py)
     return Compose(ts)

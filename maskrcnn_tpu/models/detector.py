@@ -11,7 +11,8 @@ The model object bundles:
   * frozen_mask(params) -> bool pytree for the optimizer
 
 Batch layout (everything padded, fixed shapes):
-  images [B, H, W, 3] float32 (normalized, NHWC)
+  images [B, H, W, 3] float32 (normalized, NHWC) or uint8 RGB (normalized
+    on device when TPU.DEVICE_NORMALIZE; see _prepare_images)
   image_sizes [B, 2] int32 (true h, w)
   gt_boxes [B, G, 4], gt_labels [B, G] (0 = padding)
   gt_masks [B, G, S, S] uint8 (MASK_ON; patch aligned to gt box)
@@ -60,6 +61,9 @@ class GeneralizedRCNN:
             jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         )
         self.backbone = build_backbone(cfg)
+        self.pixel_mean = tuple(cfg.INPUT.PIXEL_MEAN)
+        self.pixel_std = tuple(cfg.INPUT.PIXEL_STD)
+        self.to_bgr255 = cfg.INPUT.TO_BGR255
         self.retinanet_on = cfg.MODEL.RETINANET_ON
         self.rpn_only = cfg.MODEL.RPN_ONLY
         self.mask_on = cfg.MODEL.MASK_ON and not self.retinanet_on
@@ -201,12 +205,37 @@ class GeneralizedRCNN:
             self.compute_dtype,
         )
 
+    def _prepare_images(self, images, image_sizes):
+        """Device-side normalization for uint8 batches (TPU.DEVICE_NORMALIZE):
+        the exact host Normalize math — RGB->BGR channel flip at 0-255 scale
+        (or /255), then (x - mean) / std in float32 — with the padded region
+        re-zeroed so the zero-padding contract of the reference's ImageList
+        (structures/image_list.py:44-60) is preserved bit-for-bit. float32
+        inputs are assumed already normalized and zero-padded on host."""
+        if images.dtype != jnp.uint8:
+            return images
+        x = images.astype(jnp.float32)
+        if self.to_bgr255:
+            x = x[..., ::-1]
+        else:
+            x = x / 255.0
+        x = (x - jnp.asarray(self.pixel_mean, jnp.float32)) / jnp.asarray(
+            self.pixel_std, jnp.float32
+        )
+        _, h, w, _ = x.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+        mask = (ys < image_sizes[:, 0][:, None, None, None]) & (
+            xs < image_sizes[:, 1][:, None, None, None]
+        )
+        return jnp.where(mask, x, 0.0)
+
     # -- training -------------------------------------------------------------------
 
     def train_forward(self, params, batch, rng):
         cfg = self.cfg
-        images = batch["images"]
         image_sizes = batch["image_sizes"]
+        images = self._prepare_images(batch["images"], image_sizes)
         gt_boxes = batch["gt_boxes"].astype(jnp.float32)
         gt_labels = batch["gt_labels"]
         gt_valid = gt_labels > 0
@@ -362,8 +391,8 @@ class GeneralizedRCNN:
 
     def infer_forward(self, params, batch):
         cfg = self.cfg
-        images = batch["images"]
         image_sizes = batch["image_sizes"]
+        images = self._prepare_images(batch["images"], image_sizes)
         features = self.backbone.apply(params["backbone"], images, self.compute_dtype)
         anchors = self._anchors(features)
 

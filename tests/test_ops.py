@@ -328,3 +328,34 @@ def test_mask_predictor_at_class_matches_full():
     l_full = mask_head_loss(full, tgt, labels, valid)
     l_picked = mask_head_loss_picked(picked, tgt, valid)
     np.testing.assert_allclose(float(l_full), float(l_picked), atol=1e-6)
+
+
+def test_device_normalize_matches_host_lut():
+    # uint8 batch + on-device normalize must equal host LUT Normalize + pad
+    from maskrcnn_tpu.config import cfg
+    from maskrcnn_tpu.data.transforms import Normalize
+    from maskrcnn_tpu.models.detector import GeneralizedRCNN
+
+    c = cfg.clone()
+    rs = np.random.RandomState(7)
+    h, w, bh, bw = 37, 53, 48, 64
+    img = rs.randint(0, 256, (h, w, 3), np.uint8)
+
+    host_norm = Normalize(c.INPUT.PIXEL_MEAN, c.INPUT.PIXEL_STD, c.INPUT.TO_BGR255)
+    ref, _ = host_norm(img, None)
+    ref_padded = np.zeros((1, bh, bw, 3), np.float32)
+    ref_padded[0, :h, :w] = ref
+
+    batch_img = np.zeros((1, bh, bw, 3), np.uint8)
+    batch_img[0, :h, :w] = img
+    sizes = jnp.asarray([[h, w]], jnp.int32)
+
+    model = GeneralizedRCNN.__new__(GeneralizedRCNN)
+    model.pixel_mean = tuple(c.INPUT.PIXEL_MEAN)
+    model.pixel_std = tuple(c.INPUT.PIXEL_STD)
+    model.to_bgr255 = c.INPUT.TO_BGR255
+    got = model._prepare_images(jnp.asarray(batch_img), sizes)
+    np.testing.assert_array_equal(np.asarray(got), ref_padded)
+    # float32 input passes through untouched
+    f32 = jnp.asarray(ref_padded)
+    assert model._prepare_images(f32, sizes) is f32

@@ -53,7 +53,27 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     s_per_im = dt / b
     print(
-        "batch={} {:.2f} ms/step  {:.4f} s/im  speedup vs V100: {:.2f}x".format(
+        "end-to-end (host numpy in/out): batch={} {:.2f} ms/step  {:.4f} s/im"
+        "  speedup vs V100: {:.2f}x".format(
+            b, dt * 1000, s_per_im, BASELINE_S_PER_IM / s_per_im
+        )
+    )
+
+    # device-resident inputs: the reference's 0.1297 s/im excludes data
+    # loading, so this is the apples-to-apples model-inference number (the
+    # host numpy round trip above also pays this env's TPU tunnel, which a
+    # co-located host would not)
+    dev_inputs = [jax.device_put(x) for x in inputs]
+    t0 = time.perf_counter()
+    for i in range(iters):
+        det = infer(params, dict(images=dev_inputs[i % 4],
+                                 image_sizes=batch["image_sizes"]))
+    float(det["scores"].sum())  # scalar fetch: sync that survives the tunnel
+    dt = (time.perf_counter() - t0) / iters
+    s_per_im = dt / b
+    print(
+        "device-resident model inference: batch={} {:.2f} ms/step  {:.4f} s/im"
+        "  speedup vs V100: {:.2f}x".format(
             b, dt * 1000, s_per_im, BASELINE_S_PER_IM / s_per_im
         )
     )
