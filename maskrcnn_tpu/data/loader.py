@@ -18,6 +18,15 @@ Design:
     stream is identical to the inline loader's, regardless of worker timing.
   * Workers inherit/construct the collator, so per-worker state (the mask
     patch cache, see collate.BatchCollator) amortizes across epochs.
+  * Batches travel through POSIX shared memory, not pickled pipes: each
+    worker owns `prefetch` fixed-size SHM slots, writes every batch array
+    into its slot (one copy), and sends only (shape, dtype, offset) metadata
+    over the queue. The main process yields zero-copy numpy views into the
+    slot; the slot is recycled when the NEXT batch is requested, i.e. a
+    yielded batch is valid until the following __next__ — the training loop
+    transfers it to device immediately, so no extra host copy ever happens.
+    A batch that overflows its slot (not expected with bucketed shapes)
+    falls back to the pickled path transparently.
 """
 
 import multiprocessing as mp
@@ -25,20 +34,72 @@ import os
 import queue as queue_mod
 import threading
 
+import numpy as np
 
-def _worker_loop(dataset, collator, factory, task_q, result_q):
+# Default SHM slot: fits a bucketed batch of 16 uint8 1344x1344 images plus
+# padded gt fields with room to spare; build.py passes an exact bound.
+_DEFAULT_SLOT_BYTES = 128 * 1024 * 1024
+
+
+def _write_slot(buf, out):
+    """Pack a dict of numpy arrays into an SHM buffer; returns metadata
+    (or None if it does not fit)."""
+    off = 0
+    meta = {}
+    for k, v in out.items():
+        v = np.ascontiguousarray(v)
+        if off + v.nbytes > len(buf):
+            return None
+        dst = np.frombuffer(buf, dtype=v.dtype, count=v.size, offset=off)
+        np.copyto(dst.reshape(v.shape), v)
+        meta[k] = (v.shape, v.dtype.str, off)
+        off += v.nbytes
+    return meta
+
+
+def _read_slot(buf, meta):
+    return {
+        k: np.frombuffer(buf, dtype=np.dtype(d), offset=off,
+                         count=int(np.prod(shape)) if shape else 1
+                         ).reshape(shape)
+        for k, (shape, d, off) in meta.items()
+    }
+
+
+def _worker_loop(dataset, collator, factory, task_q, result_q, slot_names):
+    from multiprocessing import shared_memory
+
     if dataset is None:
         dataset, collator = factory()
-    while True:
-        task = task_q.get()
-        if task is None:
-            return
-        seq, batch_idx = task
-        try:
-            items = [dataset[i] for i in batch_idx]
-            result_q.put((seq, collator(items), None))
-        except Exception as e:  # surface worker errors to the main process
-            result_q.put((seq, None, "{}: {}".format(type(e).__name__, e)))
+    slots = [shared_memory.SharedMemory(name=n) for n in slot_names]
+    try:
+        while True:
+            task = task_q.get()
+            if task is None:
+                return
+            seq, slot_id, batch_idx = task
+            try:
+                items = [dataset[i] for i in batch_idx]
+                out = collator(items)
+                try:
+                    meta = (
+                        _write_slot(slots[slot_id].buf, out)
+                        if isinstance(out, dict) else None
+                    )
+                except (TypeError, ValueError):  # non-array batch contents
+                    meta = None
+                if meta is None:  # overflow / non-dict: pickled fallback
+                    result_q.put((seq, slot_id, None, out, None))
+                else:
+                    result_q.put((seq, slot_id, meta, None, None))
+            except Exception as e:  # surface worker errors to the main process
+                result_q.put(
+                    (seq, slot_id, None, None,
+                     "{}: {}".format(type(e).__name__, e))
+                )
+    finally:
+        for s in slots:
+            s.close()
 
 
 class DataLoader:
@@ -49,13 +110,15 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_sampler, collator, num_workers=0,
-                 prefetch_per_worker=2, factory=None):
+                 prefetch_per_worker=2, factory=None,
+                 slot_bytes=_DEFAULT_SLOT_BYTES):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.collator = collator
         self.num_workers = max(0, int(num_workers))
         self.prefetch = max(1, prefetch_per_worker)
         self.factory = factory
+        self.slot_bytes = int(slot_bytes)
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -70,6 +133,8 @@ class DataLoader:
     # -- multi-process ----------------------------------------------------
 
     def _iter_workers(self):
+        from multiprocessing import shared_memory
+
         start = os.environ.get("MASKRCNN_TPU_WORKER_START", "fork")
         if start == "spawn" and self.factory is None:
             start = "fork"
@@ -77,13 +142,23 @@ class DataLoader:
         n = self.num_workers
         task_qs = [ctx.SimpleQueue() for _ in range(n)]
         result_q = ctx.SimpleQueue()
+        # per-worker SHM slot ring: worker w, slot s <-> shms[w][s]
+        shms = [
+            [
+                shared_memory.SharedMemory(create=True, size=self.slot_bytes)
+                for _ in range(self.prefetch)
+            ]
+            for _ in range(n)
+        ]
         payload = (None, None, self.factory) if start == "spawn" else (
             self.dataset, self.collator, None
         )
         workers = [
             ctx.Process(
                 target=_worker_loop,
-                args=payload + (task_qs[w], result_q),
+                args=payload + (
+                    task_qs[w], result_q, [s.name for s in shms[w]]
+                ),
                 daemon=True,
             )
             for w in range(n)
@@ -92,43 +167,58 @@ class DataLoader:
             w.start()
 
         sampler_it = enumerate(iter(self.batch_sampler))
-        pending = {}  # seq -> collated (arrived out of order)
+        free = [list(range(self.prefetch)) for _ in range(n)]  # per worker
+        task_of = {}  # seq -> (worker, slot)
+        pending = {}  # seq -> (meta, collated) arrived out of order
+        held = None  # (worker, slot) of the batch the caller is consuming
+
+        def dispatch():
+            # one task to any worker with a free slot; False if none/exhausted
+            for w in range(n):
+                if free[w]:
+                    try:
+                        seq, batch_idx = next(sampler_it)
+                    except StopIteration:
+                        return False
+                    slot = free[w].pop()
+                    task_of[seq] = (w, slot)
+                    task_qs[w].put((seq, slot, list(batch_idx)))
+                    return True
+            return None  # all busy
+
         try:
-            in_flight = 0
-            dispatched = 0
-            next_seq = 0
             exhausted = False
-            # prime the pipeline
-            while not exhausted and in_flight < n * self.prefetch:
-                try:
-                    seq, batch_idx = next(sampler_it)
-                except StopIteration:
+            while not exhausted:  # prime: fill every slot
+                r = dispatch()
+                if r is False:
                     exhausted = True
+                elif r is None:
                     break
-                task_qs[seq % n].put((seq, list(batch_idx)))
-                dispatched += 1
-                in_flight += 1
-            while next_seq < dispatched or not exhausted:
+            next_seq = 0
+            while task_of or pending:
                 while next_seq in pending:
-                    yield pending.pop(next_seq)
+                    meta, collated = pending.pop(next_seq)
+                    w, slot = task_of.pop(next_seq)
+                    if meta is not None:
+                        collated = _read_slot(shms[w][slot].buf, meta)
+                    # recycle the previously yielded batch's slot, hand out
+                    # this one; views stay valid until the next __next__
+                    if held is not None:
+                        hw, hs = held
+                        free[hw].append(hs)
+                        if not exhausted and dispatch() is False:
+                            exhausted = True
+                    held = (w, slot)
+                    yield collated
                     next_seq += 1
-                if next_seq >= dispatched and exhausted:
+                if not task_of and not pending:
                     break
-                seq, collated, err = result_q.get()
+                seq, slot_id, meta, collated, err = result_q.get()
                 if err is not None:
                     raise RuntimeError(
                         "data worker failed on batch {}: {}".format(seq, err)
                     )
-                in_flight -= 1
-                pending[seq] = collated
-                if not exhausted:
-                    try:
-                        s2, batch_idx = next(sampler_it)
-                        task_qs[s2 % n].put((s2, list(batch_idx)))
-                        dispatched += 1
-                        in_flight += 1
-                    except StopIteration:
-                        exhausted = True
+                pending[seq] = (meta, collated)
         finally:
             for q in task_qs:
                 q.put(None)
@@ -136,6 +226,18 @@ class DataLoader:
                 w.join(timeout=5)
                 if w.is_alive():
                     w.terminate()
+            for row in shms:
+                for s in row:
+                    try:
+                        s.close()
+                    except BufferError:
+                        # caller still holds views into the final batch; the
+                        # mapping is reclaimed when those arrays are GC'd
+                        pass
+                    try:
+                        s.unlink()
+                    except FileNotFoundError:
+                        pass
 
     # -- threaded fallback (sandboxes that forbid subprocesses) -----------
 

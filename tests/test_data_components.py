@@ -91,3 +91,75 @@ def test_warmup_multistep_schedule():
     assert abs(float(sched(250)) - 0.02 * (1 / 3 + (1 - 1 / 3) * 0.5)) < 1e-6
     assert abs(float(sched(70000)) - 0.002) < 1e-7
     assert abs(float(sched(85000)) - 0.0002) < 1e-8
+
+
+class _ArrayDataset:
+    """Deterministic arrays so worker-path output can be diffed vs inline."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rs = np.random.RandomState(i)
+        return rs.randint(0, 255, (4, 6, 3), np.uint8), i
+
+
+def _collate_arrays(items):
+    return {
+        "images": np.stack([im for im, _ in items]),
+        "indices": np.asarray([i for _, i in items], np.int64),
+    }
+
+
+def test_worker_loader_matches_inline():
+    # the SHM worker transport must reproduce the inline stream exactly
+    from maskrcnn_tpu.data.loader import DataLoader
+
+    ds = _ArrayDataset(13)
+    batches = [[0, 1, 2], [3, 4], [5, 6, 7], [8], [9, 10, 11, 12]]
+    inline = list(
+        DataLoader(ds, batches, _collate_arrays, num_workers=0)
+    )
+    # SHM batches are zero-copy views valid until the next __next__, so a
+    # consumer that retains them must copy (the train loop's device
+    # transfer IS that copy)
+    workers = [
+        {k: np.copy(v) for k, v in b.items()}
+        for b in DataLoader(
+            ds, batches, _collate_arrays, num_workers=2, slot_bytes=1 << 20
+        )
+    ]
+    assert len(inline) == len(workers) == len(batches)
+    for a, b in zip(inline, workers):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["indices"], b["indices"])
+
+
+def test_worker_loader_slot_overflow_fallback():
+    # a batch larger than the SHM slot must arrive via the pickled fallback
+    from maskrcnn_tpu.data.loader import DataLoader
+
+    ds = _ArrayDataset(4)
+    batches = [[0, 1], [2, 3]]
+    out = list(
+        DataLoader(ds, batches, _collate_arrays, num_workers=1, slot_bytes=16)
+    )
+    inline = list(DataLoader(ds, batches, _collate_arrays, num_workers=0))
+    for a, b in zip(inline, out):
+        np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_worker_loader_surfaces_errors():
+    from maskrcnn_tpu.data.loader import DataLoader
+
+    class Bad(_ArrayDataset):
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(Bad(5), [[0, 1], [2, 3]], _collate_arrays, num_workers=1))

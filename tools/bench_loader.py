@@ -64,6 +64,7 @@ def run_epochs(dataset, collator, cfg, num_workers, batch=8, epochs=2):
             rates.append(n / (time.perf_counter() - t0))
             n = 0
             t0 = time.perf_counter()
+    del b  # SHM batches are views; release before the loader closes its slots
     return rates
 
 
