@@ -112,6 +112,25 @@ class _LoaderFactory:
         return datasets[self.dataset_index], collator
 
 
+def _slot_bytes(cfg, is_train, batch):
+    """Exact SHM slot bound for one collated batch: the largest image bucket
+    (float32 worst case — uint8 when TPU.DEVICE_NORMALIZE) plus the padded
+    gt fields, with headroom for metadata/alignment."""
+    from .collate import compute_image_buckets
+
+    buckets = compute_image_buckets(cfg, is_train)
+    bh, bw = max(buckets, key=lambda b: b[0] * b[1])
+    px = 1 if cfg.TPU.DEVICE_NORMALIZE else 4
+    images = batch * bh * bw * 3 * px
+    g = cfg.TPU.MAX_GT_BOXES
+    gt = batch * g * (4 * 4 + 4)  # boxes f32 + labels i32
+    if cfg.MODEL.MASK_ON:
+        gt += batch * g * cfg.TPU.GT_MASK_SIZE ** 2  # uint8 patches
+    if cfg.MODEL.KEYPOINT_ON:
+        gt += batch * g * 17 * 3 * 4
+    return images + gt + (1 << 20)
+
+
 def _resolve_catalog(cfg):
     paths_catalog = cfg.PATHS_CATALOG
     if paths_catalog.endswith("paths_catalog.py") and "maskrcnn_tpu" in paths_catalog:
@@ -173,6 +192,7 @@ def make_data_loader(cfg, is_train=True, is_distributed=False, start_iter=0):
             DataLoader(
                 dataset, batch_sampler, collator, cfg.DATALOADER.NUM_WORKERS,
                 factory=_LoaderFactory(cfg, is_train, di),
+                slot_bytes=_slot_bytes(cfg, is_train, images_per_host),
             )
         )
     if is_train:

@@ -133,6 +133,9 @@ class DataLoader:
     # -- multi-process ----------------------------------------------------
 
     def _iter_workers(self):
+        """Eagerly allocates SHM and starts workers (so environments that
+        forbid either raise HERE, inside __iter__'s try, and fall back to
+        the threaded loader), then returns the streaming generator."""
         from multiprocessing import shared_memory
 
         start = os.environ.get("MASKRCNN_TPU_WORKER_START", "fork")
@@ -140,34 +143,50 @@ class DataLoader:
             start = "fork"
         ctx = mp.get_context(start)
         n = self.num_workers
+        # the held-slot recycling protocol needs >= 2 slots per worker to
+        # keep a task in flight while the caller consumes a batch
+        prefetch = max(2, self.prefetch)
         task_qs = [ctx.SimpleQueue() for _ in range(n)]
-        result_q = ctx.SimpleQueue()
+        result_q = ctx.Queue()  # not SimpleQueue: liveness checks need timeout
         # per-worker SHM slot ring: worker w, slot s <-> shms[w][s]
         shms = [
             [
                 shared_memory.SharedMemory(create=True, size=self.slot_bytes)
-                for _ in range(self.prefetch)
+                for _ in range(prefetch)
             ]
             for _ in range(n)
         ]
         payload = (None, None, self.factory) if start == "spawn" else (
             self.dataset, self.collator, None
         )
-        workers = [
-            ctx.Process(
-                target=_worker_loop,
-                args=payload + (
-                    task_qs[w], result_q, [s.name for s in shms[w]]
-                ),
-                daemon=True,
-            )
-            for w in range(n)
-        ]
-        for w in workers:
-            w.start()
+        workers = []
+        try:
+            for w in range(n):
+                p = ctx.Process(
+                    target=_worker_loop,
+                    args=payload + (
+                        task_qs[w], result_q, [s.name for s in shms[w]]
+                    ),
+                    daemon=True,
+                )
+                p.start()
+                workers.append(p)
+        except BaseException:
+            for p in workers:
+                p.terminate()
+            for row in shms:
+                for s in row:
+                    s.close()
+                    s.unlink()
+            raise
+        return self._worker_stream(
+            prefetch, task_qs, result_q, shms, workers
+        )
 
+    def _worker_stream(self, prefetch, task_qs, result_q, shms, workers):
+        n = self.num_workers
         sampler_it = enumerate(iter(self.batch_sampler))
-        free = [list(range(self.prefetch)) for _ in range(n)]  # per worker
+        free = [list(range(prefetch)) for _ in range(n)]  # per worker
         task_of = {}  # seq -> (worker, slot)
         pending = {}  # seq -> (meta, collated) arrived out of order
         held = None  # (worker, slot) of the batch the caller is consuming
@@ -186,6 +205,23 @@ class DataLoader:
                     return True
             return None  # all busy
 
+        def get_result():
+            # bounded wait + worker-liveness check: a worker killed by the
+            # kernel (OOM, SIGBUS on /dev/shm exhaustion) must not hang the
+            # training loop silently
+            while True:
+                try:
+                    return result_q.get(timeout=10.0)
+                except queue_mod.Empty:
+                    for w in workers:
+                        if not w.is_alive():
+                            raise RuntimeError(
+                                "data worker pid {} died (exitcode {}) — "
+                                "likely OOM or /dev/shm exhaustion; lower "
+                                "DATALOADER.NUM_WORKERS or the loader "
+                                "slot_bytes".format(w.pid, w.exitcode)
+                            )
+
         try:
             exhausted = False
             while not exhausted:  # prime: fill every slot
@@ -202,7 +238,10 @@ class DataLoader:
                     if meta is not None:
                         collated = _read_slot(shms[w][slot].buf, meta)
                     # recycle the previously yielded batch's slot, hand out
-                    # this one; views stay valid until the next __next__
+                    # this one; views stay valid until the next __next__ (the
+                    # consumer must finish its device transfer — or copy —
+                    # before asking for the next batch; engine/trainer.py
+                    # blocks on the transfer for exactly this reason)
                     if held is not None:
                         hw, hs = held
                         free[hw].append(hs)
@@ -213,7 +252,7 @@ class DataLoader:
                     next_seq += 1
                 if not task_of and not pending:
                     break
-                seq, slot_id, meta, collated, err = result_q.get()
+                seq, slot_id, meta, collated, err = get_result()
                 if err is not None:
                     raise RuntimeError(
                         "data worker failed on batch {}: {}".format(seq, err)

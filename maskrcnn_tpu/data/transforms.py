@@ -125,10 +125,15 @@ class ToArray:
 
 
 class Normalize:
-    def __init__(self, mean, std, to_bgr255=True):
+    def __init__(self, mean, std, to_bgr255=True, uint8_passthrough=False):
+        """uint8_passthrough: leave uint8 images untouched (the model
+        normalizes them on device, TPU.DEVICE_NORMALIZE) but still
+        normalize float inputs, which the device path would otherwise
+        assume were already normalized on host."""
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_bgr255 = to_bgr255
+        self.uint8_passthrough = uint8_passthrough
         # per-output-channel LUT over the 256 uint8 values: one fused
         # gather-pass replaces flip + subtract + divide full-image passes
         v = np.arange(256, dtype=np.float32)
@@ -143,6 +148,8 @@ class Normalize:
 
     def __call__(self, image, target):
         if image.dtype == np.uint8 and image.ndim == 3:
+            if self.uint8_passthrough:
+                return image, target
             out = np.empty(image.shape[:2] + (len(self._src),), np.float32)
             for c, sc in enumerate(self._src):
                 out[:, :, c] = self._lut[c][image[:, :, sc]]
@@ -181,12 +188,15 @@ def build_transforms(cfg, is_train=True):
     if flip_v > 0:
         ts.append(RandomVerticalFlip(flip_v))
     ts.append(ToArray())
-    if not cfg.TPU.DEVICE_NORMALIZE:
-        ts.append(
-            Normalize(
-                cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255
-            )
+    # With TPU.DEVICE_NORMALIZE, uint8 images stay raw RGB through the
+    # collator and the wire (the model applies the identical normalization
+    # on device, detector.py:_prepare_images) — but float inputs must still
+    # be normalized here, since the device path passes float32 through on
+    # the assumption it was host-normalized.
+    ts.append(
+        Normalize(
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255,
+            uint8_passthrough=cfg.TPU.DEVICE_NORMALIZE,
         )
-    # else: images stay uint8 RGB through the collator and the wire; the
-    # model applies the identical normalization on device (detector.py)
+    )
     return Compose(ts)

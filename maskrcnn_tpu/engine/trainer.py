@@ -141,5 +141,11 @@ def _to_device(batch, mesh):
         k: v for k, v in batch.items() if isinstance(v, np.ndarray) and k != "indices"
     }
     if mesh is not None:
-        return shard_batch(arrays, mesh)
-    return jax.tree.map(jnp.asarray, arrays)
+        out = shard_batch(arrays, mesh)
+    else:
+        out = jax.tree.map(jnp.asarray, arrays)
+    # The SHM loader recycles a batch's slot once the NEXT batch is
+    # requested, so the host->device copy must be complete — not merely
+    # enqueued — before this loop iteration ends (a still-in-flight DMA
+    # reading a recycled slot would silently mix two batches).
+    return jax.block_until_ready(out)

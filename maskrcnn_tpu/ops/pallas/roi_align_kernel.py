@@ -115,10 +115,8 @@ def _kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
     # output column is ~2 us/ROI; the MXU does it in ~0.1):
     # out[pi, q, ch] = sum_w colw[q, w] * a[pi, w, ch]
     colw = colw_ref[0]  # [P, PATCH_W] f32
-    for pi in range(p):
-        out_ref[0, pi] = jnp.dot(
-            colw, a[pi].astype(jnp.float32), preferred_element_type=jnp.float32
-        )
+    for pi in range(p):  # a is already f32 (preferred_element_type above)
+        out_ref[0, pi] = jnp.dot(colw, a[pi], preferred_element_type=jnp.float32)
 
 
 def _bin_weights(coords, mask, n_bins, s, patch_extent):

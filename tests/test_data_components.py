@@ -163,3 +163,41 @@ def test_worker_loader_surfaces_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(DataLoader(Bad(5), [[0, 1], [2, 3]], _collate_arrays, num_workers=1))
+
+
+def test_worker_loader_single_slot_config_yields_all_batches():
+    # num_workers=1, prefetch_per_worker=1 used to truncate the stream to one
+    # batch (held-slot protocol starvation); the loader must floor at 2 slots
+    from maskrcnn_tpu.data.loader import DataLoader
+
+    ds = _ArrayDataset(8)
+    batches = [[0, 1], [2, 3], [4, 5], [6, 7]]
+    got = [
+        {k: np.copy(v) for k, v in b.items()}
+        for b in DataLoader(
+            ds, batches, _collate_arrays, num_workers=1,
+            prefetch_per_worker=1, slot_bytes=1 << 20,
+        )
+    ]
+    assert len(got) == 4
+    np.testing.assert_array_equal(
+        np.concatenate([b["indices"] for b in got]), np.arange(8)
+    )
+
+
+def test_normalize_uint8_passthrough_still_normalizes_float():
+    # DEVICE_NORMALIZE defers uint8 to the device but float inputs (ToArray
+    # passthrough of synthetic arrays) must still be normalized on host
+    from maskrcnn_tpu.data.transforms import Normalize
+
+    mean, std = [102.98, 115.95, 122.77], [1.0, 1.0, 1.0]
+    n = Normalize(mean, std, to_bgr255=True, uint8_passthrough=True)
+    u8 = np.full((4, 4, 3), 100, np.uint8)
+    out, _ = n(u8, None)
+    assert out.dtype == np.uint8 and out is u8
+    f32 = np.full((4, 4, 3), 100.0, np.float32)
+    out, _ = n(f32, None)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(
+        out[0, 0], (100.0 - np.asarray(mean)) / np.asarray(std), atol=1e-4
+    )

@@ -38,11 +38,11 @@ def main():
     det = infer(params, batch)
     np.asarray(det["scores"])
 
-    # fresh input each step + host fetch of the result: end-to-end latency
-    # incl. transfers (block_until_ready under-reports on the axon tunnel)
+    # fresh HOST numpy input each step + host fetch of the result:
+    # end-to-end latency incl. the real host->device transfer
+    # (block_until_ready under-reports on the axon tunnel)
     inputs = [
-        jax.numpy.asarray(rs.randn(b, h, w, 3), jax.numpy.float32)
-        for _ in range(4)
+        np.asarray(rs.randn(b, h, w, 3), np.float32) for _ in range(4)
     ]
     iters = 20
     t0 = time.perf_counter()
@@ -61,9 +61,9 @@ def main():
 
     # device-resident inputs: the reference's 0.1297 s/im excludes data
     # loading, so this is the apples-to-apples model-inference number (the
-    # host numpy round trip above also pays this env's TPU tunnel, which a
-    # co-located host would not)
-    dev_inputs = [jax.device_put(x) for x in inputs]
+    # host numpy round trip above also pays this env's TPU tunnel — tens of
+    # MB/s on a bad day — which a co-located host would not)
+    dev_inputs = jax.block_until_ready([jax.device_put(x) for x in inputs])
     t0 = time.perf_counter()
     for i in range(iters):
         det = infer(params, dict(images=dev_inputs[i % 4],
