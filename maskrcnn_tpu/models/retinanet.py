@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ..ops.box_ops import box_iou, clip_boxes_to_image, decode_boxes, encode_boxes, small_box_mask
 from ..ops.losses import sigmoid_focal_loss, smooth_l1_loss
 from ..ops.matcher import match_proposals
+from ..ops.sampler import top_k_fast
 from ..ops.nms import NEG_INF, batched_nms
 from .layers import conv2d, init_conv, relu
 
@@ -131,7 +132,9 @@ def retinanet_inference(
         over = scores > rcfg["inference_th"]
         k = min(pre_nms, scores.shape[1])
         masked = jnp.where(over, scores, NEG_INF)
-        top_scores, top_idx = jax.lax.top_k(masked, k)
+        # [B, N*(C-1)] is ~12M elements at the finest level — the exact-value
+        # approx_max_k path matters most here
+        top_scores, top_idx = top_k_fast(masked, k)
         valid = top_scores > NEG_INF / 2
         anchor_idx = top_idx // num_classes
         label = (top_idx % num_classes) + 1

@@ -19,7 +19,7 @@ from ..ops.box_ops import clip_boxes_to_image, decode_boxes, encode_boxes, box_i
 from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
 from ..ops.matcher import match_proposals
 from ..ops.nms import NEG_INF, batched_nms
-from ..ops.sampler import sample_topk_indices
+from ..ops.sampler import sample_topk_indices, top_k_fast
 from .layers import conv2d, init_conv, relu
 
 
@@ -72,17 +72,7 @@ def _select_level_proposals(
     k_pre = min(pre_nms_top_n, n)
 
     scores = jax.nn.sigmoid(objectness.astype(jnp.float32))
-    if n >= 8192 and k_pre >= 256:
-        # TPU-optimized partition-based selection; recall_target=1.0 with
-        # final aggregation returns the exact top-k values sorted descending
-        # (~1.8x faster than the full bitonic sort on the 201k-anchor p2
-        # level). Tie-broken indices may differ from lax.top_k — the
-        # reference's CUDA sort does not pin tie order either.
-        top_scores, top_idx = jax.lax.approx_max_k(
-            scores, k_pre, recall_target=1.0, aggregate_to_topk=True
-        )
-    else:
-        top_scores, top_idx = jax.lax.top_k(scores, k_pre)  # [B, k_pre]
+    top_scores, top_idx = top_k_fast(scores, k_pre)  # [B, k_pre]
     top_deltas = jnp.take_along_axis(
         bbox_reg.astype(jnp.float32), top_idx[..., None], axis=1
     )
@@ -150,10 +140,10 @@ def select_proposals(
         if is_train and rpn_cfg["fpn_post_nms_per_batch"]:
             # Detectron quirk: top-k over the whole batch during training.
             flat = masked.reshape(-1)
-            kth = jax.lax.top_k(flat, min(fpn_post, flat.shape[0]))[0][-1]
+            kth = top_k_fast(flat, min(fpn_post, flat.shape[0]))[0][-1]
             keep = masked >= jnp.maximum(kth, NEG_INF / 2)
             masked = jnp.where(keep, masked, NEG_INF)
-        sel_scores, sel = jax.lax.top_k(masked, k)
+        sel_scores, sel = top_k_fast(masked, k)
         sel_valid = sel_scores > NEG_INF / 2
         boxes = jnp.where(
             sel_valid[..., None], jnp.take_along_axis(boxes, sel[..., None], axis=1), 0.0

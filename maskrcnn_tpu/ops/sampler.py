@@ -15,11 +15,16 @@ import jax.numpy as jnp
 NEG_INF = -1e10
 
 
-def _top_k(x, k):
-    """Exact-value top-k; uses the TPU partition-based approx_max_k (with
-    recall 1.0 + final aggregation = exact, sorted values) when the axis is
-    large enough to make the full bitonic sort the slower path. Priorities
-    here are random floats, so tie-index differences are measure-zero."""
+def top_k_fast(x, k):
+    """Exact-value top-k over the last axis; routes large problems through
+    jax.lax.approx_max_k with recall_target=1.0 + aggregate_to_topk, which
+    XLA lowers with log2_reduction=0, i.e. an exact sorted top-k that skips
+    the full bitonic sort (~1.8x faster at n=200k on v5e). Values (and any
+    value-derived threshold) are identical to lax.top_k; only the index
+    order WITHIN tied values may differ — float32 draws over n~2e5 do tie
+    (birthday bound), but every tie-break is an equally valid selection and
+    the reference's CUDA sort does not pin tie order either. Callers that
+    depend on tie order must use lax.top_k directly."""
     if x.shape[-1] >= 8192 and k >= 64:
         return jax.lax.approx_max_k(
             x, k, recall_target=1.0, aggregate_to_topk=True
@@ -53,7 +58,7 @@ def sample_masks(labels, key, batch_size_per_image, positive_fraction):
     # of s32[B*N] runs ~0.7 GB/s; top_k over the same data is ~10x cheaper).
     rand_p = jax.random.uniform(kp, (n,))
     pos_priority = jnp.where(pos, rand_p, NEG_INF)
-    pos_thr = _top_k(pos_priority, min(num_pos_quota, n))[0][-1]
+    pos_thr = top_k_fast(pos_priority, min(num_pos_quota, n))[0][-1]
     pos_mask = pos & (pos_priority >= pos_thr)
 
     num_pos = jnp.sum(pos_mask)
@@ -62,7 +67,7 @@ def sample_masks(labels, key, batch_size_per_image, positive_fraction):
     rand_n = jax.random.uniform(kn, (n,))
     neg_priority = jnp.where(neg, rand_n, NEG_INF)
     k_max = min(batch_size_per_image, n)
-    neg_top = _top_k(neg_priority, k_max)[0]
+    neg_top = top_k_fast(neg_priority, k_max)[0]
     neg_thr = neg_top[jnp.clip(num_neg_quota - 1, 0, k_max - 1)]
     neg_thr = jnp.where(num_neg_quota > 0, neg_thr, jnp.inf)
     neg_mask = neg & (neg_priority >= neg_thr)
@@ -85,7 +90,9 @@ def sample_topk_indices(labels, key, batch_size_per_image, positive_fraction):
     priority = jnp.where(
         pos_mask, 2.0 + rand, jnp.where(neg_mask, 1.0 + rand, NEG_INF)
     )
-    top_p, idx = _top_k(priority, batch_size_per_image)
+    top_p, idx = top_k_fast(priority, batch_size_per_image)
     valid = top_p > 0
-    is_pos = top_p > 2.0
+    # >= : a sampled positive whose uniform draw is exactly 0.0 has
+    # priority == 2.0 and must still count as positive
+    is_pos = top_p >= 2.0
     return idx.astype(jnp.int32), valid, is_pos
