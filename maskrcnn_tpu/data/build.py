@@ -113,9 +113,11 @@ class _LoaderFactory:
 
 
 def _slot_bytes(cfg, is_train, batch):
-    """Exact SHM slot bound for one collated batch: the largest image bucket
-    (float32 worst case — uint8 when TPU.DEVICE_NORMALIZE) plus the padded
-    gt fields, with headroom for metadata/alignment."""
+    """SHM slot bound for one collated batch: the largest image bucket plus
+    the padded gt fields, with headroom. Sized for the pipeline's nominal
+    dtype (uint8 under TPU.DEVICE_NORMALIZE, float32 otherwise); a dataset
+    that emits float arrays under DEVICE_NORMALIZE overflows the slot and
+    the loader warns once and uses its pickled fallback."""
     from .collate import compute_image_buckets
 
     buckets = compute_image_buckets(cfg, is_train)

@@ -70,10 +70,14 @@ class CityScapesDataset(AbstractDataset):
             glob.glob(os.path.join(img_dir, "*", "*_leftImg8bit.png"))
         )
         ann_paths = sorted(glob.glob(os.path.join(ann_dir, "*", suffix)))
-        if mini is not None:
-            img_paths = img_paths[:: len(img_paths) // mini + 1]
-            ann_paths = ann_paths[:: len(ann_paths) // mini + 1]
+        # alignment MUST be checked before mini-subsampling: unequal glob
+        # counts can stride down to equal lengths while pairing every image
+        # with the wrong annotation
         assert len(img_paths) == len(ann_paths), (len(img_paths), len(ann_paths))
+        if mini is not None:
+            stride = len(img_paths) // mini + 1
+            img_paths = img_paths[::stride]
+            ann_paths = ann_paths[::stride]
         self.img_paths = img_paths
         self.ann_paths = ann_paths
 
@@ -135,10 +139,24 @@ class CityScapesDataset(AbstractDataset):
         boxes, segs, labels = self._load_anno(idx)
         if len(segs) == 0:
             # reference behavior: substitute the next image's sample but
-            # report this idx (cityscapes.py:106-114)
-            img, target, _ = self[(idx + 1) % len(self)]
-            return img, target, idx
+            # report this idx (cityscapes.py:106-114) — iteratively, with a
+            # full-cycle bound (recursing crashed on long empty runs, e.g.
+            # the dummy test-split annotations)
+            for step in range(1, len(self)):
+                j = (idx + step) % len(self)
+                boxes, segs, labels = self._load_anno(j)
+                if len(segs) > 0:
+                    img, target, _ = self._build_sample(j, boxes, segs, labels)
+                    return img, target, idx
+            raise RuntimeError(
+                "CityScapesDataset: no image in the split has annotations "
+                "(split={!r}, min_area={}) — nothing to substitute for "
+                "empty sample {}".format(self.split, self.min_area, idx)
+            )
 
+        return self._build_sample(idx, boxes, segs, labels)
+
+    def _build_sample(self, idx, boxes, segs, labels):
         img = Image.open(self.img_paths[idx]).convert("RGB")
         target = BoxList(np.asarray(boxes, np.float32), img.size, mode="xyxy")
         target.add_field("labels", np.asarray(labels, np.int64))

@@ -32,6 +32,7 @@ Design:
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import sys
 import threading
 
 import numpy as np
@@ -66,12 +67,23 @@ def _read_slot(buf, meta):
     }
 
 
-def _worker_loop(dataset, collator, factory, task_q, result_q, slot_names):
+def _worker_loop(dataset, collator, factory, task_q, result_q, slot_names,
+                 worker_seed):
+    import random as _random
+
     from multiprocessing import shared_memory
+
+    # fork inherits the parent's RNG state: without reseeding, every worker
+    # applies IDENTICAL augmentation draws (scale/flip/jitter), collapsing
+    # augmentation diversity by a factor of num_workers (torch DataLoader
+    # seeds base_seed + worker_id for the same reason)
+    _random.seed(worker_seed)
+    np.random.seed(worker_seed % (2 ** 32))
 
     if dataset is None:
         dataset, collator = factory()
     slots = [shared_memory.SharedMemory(name=n) for n in slot_names]
+    warned_overflow = False
     try:
         while True:
             task = task_q.get()
@@ -89,6 +101,18 @@ def _worker_loop(dataset, collator, factory, task_q, result_q, slot_names):
                 except (TypeError, ValueError):  # non-array batch contents
                     meta = None
                 if meta is None:  # overflow / non-dict: pickled fallback
+                    if isinstance(out, dict) and not warned_overflow:
+                        # no silent caps: an overflow (e.g. float32 batches
+                        # with a uint8-sized slot) degrades EVERY batch to
+                        # the pickled path — say so once
+                        warned_overflow = True
+                        sys.stderr.write(
+                            "maskrcnn_tpu loader: collated batch overflows "
+                            "the {} MB SHM slot; using the pickled fallback "
+                            "(pass a larger slot_bytes to DataLoader)\n".format(
+                                slots[slot_id].size >> 20
+                            )
+                        )
                     result_q.put((seq, slot_id, None, out, None))
                 else:
                     result_q.put((seq, slot_id, meta, None, None))
@@ -159,13 +183,17 @@ class DataLoader:
         payload = (None, None, self.factory) if start == "spawn" else (
             self.dataset, self.collator, None
         )
+        import random as _random
+
+        base_seed = _random.getrandbits(48)
         workers = []
         try:
             for w in range(n):
                 p = ctx.Process(
                     target=_worker_loop,
                     args=payload + (
-                        task_qs[w], result_q, [s.name for s in shms[w]]
+                        task_qs[w], result_q, [s.name for s in shms[w]],
+                        base_seed + w,
                     ),
                     daemon=True,
                 )

@@ -64,11 +64,17 @@ class RandomHorizontalFlip:
 
     def __call__(self, image, target):
         if random.random() < self.prob:
+            # BoxList.transpose returns a NEW object, so BOTH flip markers
+            # must be re-attached or the collator's mask-patch cache keys an
+            # h+v-flipped sample as v-only (corrupted cached supervision)
+            h = getattr(target, "_hflipped", False)
+            v = getattr(target, "_vflipped", False)
             image = image.transpose(Image.FLIP_LEFT_RIGHT)
             target = target.transpose(FLIP_LEFT_RIGHT)
-            # marker consumed by the collator's mask-patch cache (the patch
+            # markers consumed by the collator's mask-patch cache (the patch
             # of a flipped polygon differs from the unflipped one)
-            target._hflipped = not getattr(target, "_hflipped", False)
+            target._hflipped = not h
+            target._vflipped = v
         return image, target
 
 
@@ -78,9 +84,12 @@ class RandomVerticalFlip:
 
     def __call__(self, image, target):
         if random.random() < self.prob:
+            h = getattr(target, "_hflipped", False)
+            v = getattr(target, "_vflipped", False)
             image = image.transpose(Image.FLIP_TOP_BOTTOM)
             target = target.transpose(FLIP_TOP_BOTTOM)
-            target._vflipped = not getattr(target, "_vflipped", False)
+            target._hflipped = h
+            target._vflipped = not v
         return image, target
 
 

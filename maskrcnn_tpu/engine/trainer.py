@@ -62,12 +62,24 @@ def do_train(
 
         # skip degenerate batches (reference trainer.py:74-76) — with padded
         # targets an empty image is fine, but a fully empty batch is not.
-        if "gt_labels" in batch and not np.any(batch["gt_labels"] > 0):
-            logger.warning(
-                "Iteration={} || batch has no ground truth, skipped".format(iteration)
-            )
-            end = time.time()
-            continue
+        # The decision must be GLOBAL: train_step contains collectives, so
+        # one host skipping while others step would desync the psum ordering
+        # (hang or cross-step reductions). all_gather the local flag and
+        # skip only when every host's shard is empty.
+        if "gt_labels" in batch:
+            local_has_gt = bool(np.any(batch["gt_labels"] > 0))
+            if comm.get_world_size() > 1:
+                has_gt = any(comm.all_gather(local_has_gt))
+            else:
+                has_gt = local_has_gt
+            if not has_gt:
+                logger.warning(
+                    "Iteration={} || batch has no ground truth, skipped".format(
+                        iteration
+                    )
+                )
+                end = time.time()
+                continue
 
         step_rng = jax.random.fold_in(rng, iteration)
         device_batch = _to_device(batch, mesh)

@@ -201,3 +201,26 @@ def test_normalize_uint8_passthrough_still_normalizes_float():
     np.testing.assert_allclose(
         out[0, 0], (100.0 - np.asarray(mean)) / np.asarray(std), atol=1e-4
     )
+
+
+def test_flip_markers_survive_both_flips():
+    # BoxList.transpose returns a new object; both cache markers must ride
+    # along or h+v-flipped samples hit the h-only cache entry
+    from PIL import Image as PILImage
+
+    from maskrcnn_tpu.data.transforms import (
+        RandomHorizontalFlip,
+        RandomVerticalFlip,
+    )
+    from maskrcnn_tpu.structures.boxlist import BoxList
+
+    img = PILImage.new("RGB", (32, 24))
+    t = BoxList(np.asarray([[2.0, 3.0, 10.0, 12.0]]), (32, 24), mode="xyxy")
+    img, t = RandomHorizontalFlip(prob=1.1)(img, t)
+    img, t = RandomVerticalFlip(prob=1.1)(img, t)
+    assert getattr(t, "_hflipped", False) is True
+    assert getattr(t, "_vflipped", False) is True
+    # flipping back h clears the h marker but keeps v
+    img, t = RandomHorizontalFlip(prob=1.1)(img, t)
+    assert getattr(t, "_hflipped", True) is False
+    assert getattr(t, "_vflipped", False) is True
