@@ -461,11 +461,13 @@ class GeneralizedRCNN:
                 det_flat, det_batch, self.kp_pooler, cfg, self.compute_dtype,
                 pooler_backend=pb,
             )
-            kps = kh.heatmaps_to_keypoints(kp_logits, det_flat)  # [B*D, K, 4]
+            # raw heatmaps ride along so the host runs the exact cv2 bicubic
+            # decode (reference keypoint_head/inference.py:40-98); the
+            # engine always prefers them, so no on-device approximate decode
+            # is computed (it was dead work: R*17*(4H)^2 resize+softmax per
+            # batch whose output was never read). Callers needing a jit-only
+            # decode can run kh.heatmaps_to_keypoints on these heatmaps.
             d = detections["boxes"].shape[1]
-            detections["keypoints"] = kps.reshape(b, d, kps.shape[1], 4)
-            # raw heatmaps ride along so the host can run the exact cv2
-            # bicubic decode (reference keypoint_head/inference.py:40-98)
             hh = kp_logits.shape[1]
             detections["kp_heatmaps"] = kp_logits.astype(jnp.float32).reshape(
                 b, d, hh, hh, kp_logits.shape[-1]

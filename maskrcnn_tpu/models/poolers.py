@@ -90,6 +90,15 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg,
         return fn(tuple(features), boxes, batch_idx)
     ph, pw = pcfg.output_size
     s = pcfg.adaptive_max if pcfg.adaptive else pcfg.sampling_ratio
+    if pcfg.adaptive and len(features) == 1:
+        # single-level (C4): ROIs are image-clipped, so the adaptive grid
+        # n = ceil(roi_cells / bins) is bounded by the feature map itself —
+        # e.g. ceil(84/14) = 6 at 1333 px, ceil(50/14) = 4 at 800 px.
+        # Shrinking the static sample superset to that bound cuts the
+        # gather/bilinear work ~(adaptive_max/bound)^2 at identical output.
+        h0, w0 = features[0].shape[1], features[0].shape[2]
+        bound = max(-(-h0 // ph), -(-w0 // pw), 1)
+        s = min(s, bound)
     b = features[0].shape[0]
     c = features[0].shape[-1]
     r = boxes.shape[0]

@@ -170,13 +170,12 @@ def heatmaps_to_keypoints_exact(maps, rois):
 
 
 def heatmaps_to_keypoints(kp_logits, rois):
-    """Decode heatmaps to (x, y, logit, prob) per keypoint — the jit-safe
-    on-device approximation (fixed 4x bilinear upsample + argmax) of the
-    exact host decode above; the inference engine prefers the exact one
-    when heatmaps reach the host.
+    """Jit-safe on-device approximation (fixed 4x bilinear upsample +
+    argmax) of the exact host decode above. Same column layout as the exact
+    decoder — (x, y, 1, logit-at-max) — so consumers (e.g. the demo's
+    logit-scale joint threshold) behave identically whichever decoder ran.
 
-    kp_logits [R, H, H, K]; rois [R, 4]. Returns [R, K, 4] (x, y, logit,
-    prob) in image coordinates.
+    kp_logits [R, H, H, K]; rois [R, 4]. Returns [R, K, 4] in image coords.
     """
     r, h, _, k = kp_logits.shape
     up = 4  # upsample factor approximating the per-roi resize
@@ -187,8 +186,6 @@ def heatmaps_to_keypoints(kp_logits, rois):
     flat = logits.transpose(0, 3, 1, 2).reshape(r, k, hu * hu)
     idx = jnp.argmax(flat, axis=-1)
     max_logit = jnp.max(flat, axis=-1)
-    probs = jax.nn.softmax(flat, axis=-1)
-    max_prob = jnp.take_along_axis(probs, idx[..., None], axis=-1)[..., 0]
     yi = (idx // hu).astype(jnp.float32)
     xi = (idx % hu).astype(jnp.float32)
 
@@ -197,4 +194,6 @@ def heatmaps_to_keypoints(kp_logits, rois):
     hgt = jnp.maximum(rois[:, 3:4] - rois[:, 1:2], 1.0)
     x = x1 + (xi + 0.5) * (w / hu)
     y = y1 + (yi + 0.5) * (hgt / hu)
-    return jnp.stack([x, y, max_logit, max_prob], axis=-1)
+    return jnp.stack(
+        [x, y, jnp.ones_like(max_logit), max_logit], axis=-1
+    )

@@ -53,6 +53,17 @@ PATCH_Y = 56  # DMA window rows: 8-quantized y origin + 48-cell extent
 PATCH_W = 56  # DMA window cols: 8-aligned x origin + 48-cell extent
 
 
+def _padded_hw(h, w):
+    """Per-level padded dims the kernels operate on: at least the window
+    size, AND a multiple of 8 — so the window-origin clip bound
+    (dim - PATCH) is itself 8-aligned. A non-aligned bound (e.g. 100-56=44)
+    would produce clipped origins that (a) collide with the neighboring
+    8-aligned origin in the //8 merge key, pooling edge ROIs from the wrong
+    window, and (b) falsify the kernels' multiple_of(x0, 8) sublane hint."""
+    rup = lambda v: -(-v // 8) * 8
+    return max(PATCH_Y, rup(h)), max(PATCH_W, rup(w))
+
+
 def _window_rmw_add(grad_refs, acc_ref, tmp_ref, sem, num_levels,
                     lvl, b, y0, x0):
     """grad[lvl][b, y0:y0+PATCH_Y, x0:x0+PATCH_W, :] += acc (one round trip).
@@ -159,8 +170,10 @@ def _precompute(features, boxes, batch_idx, pcfg):
     num_levels = len(features)
     b_sz = features[0].shape[0]
 
-    hs = jnp.asarray([max(f.shape[1], PATCH_Y) for f in features], jnp.int32)
-    ws = jnp.asarray([max(f.shape[2], PATCH_W) for f in features], jnp.int32)
+    hs = jnp.asarray([_padded_hw(f.shape[1], f.shape[2])[0] for f in features],
+                     jnp.int32)
+    ws = jnp.asarray([_padded_hw(f.shape[1], f.shape[2])[1] for f in features],
+                     jnp.int32)
     true_hs = jnp.asarray([f.shape[1] for f in features], jnp.int32)
     true_ws = jnp.asarray([f.shape[2] for f in features], jnp.int32)
     scales = jnp.asarray(pcfg.scales, jnp.float32)
@@ -227,8 +240,9 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
     # pad small levels so a window always fits
     feats = []
     for f in features:
-        hpad = max(0, PATCH_Y - f.shape[1])
-        wpad = max(0, PATCH_W - f.shape[2])
+        ph, pw = _padded_hw(f.shape[1], f.shape[2])
+        hpad = ph - f.shape[1]
+        wpad = pw - f.shape[2]
         if hpad or wpad:
             f = jnp.pad(f, ((0, 0), (0, hpad), (0, wpad), (0, 0)))
         feats.append(f.astype(compute_dtype))
@@ -385,8 +399,10 @@ def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
     num_levels = len(shapes)
     b = shapes[0][0]
     c = shapes[0][-1]
-    hm = max(max(s[1] for s in shapes), PATCH_Y)
-    wm = max(max(s[2] for s in shapes), PATCH_W)
+    # NOTE: one fused buffer padded to the finest level's dims costs ~4x the
+    # pyramid's true HBM; acceptable for this non-default fallback backend.
+    hm = max(_padded_hw(s[1], s[2])[0] for s in shapes)
+    wm = max(_padded_hw(s[1], s[2])[1] for s in shapes)
     r = dout.shape[0]
     p = dout.shape[1]
 
@@ -475,8 +491,7 @@ def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="rmw",
         else:
             # grads are for the PADDED maps; slice back to true shapes
             padded_shapes = tuple(
-                (s[0], max(s[1], PATCH_Y), max(s[2], PATCH_W), s[3])
-                for s in shapes
+                (s[0],) + _padded_hw(s[1], s[2]) + (s[3],) for s in shapes
             )
             grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res,
                                    dout, interpret=interpret)

@@ -58,8 +58,13 @@ def sample_masks(labels, key, batch_size_per_image, positive_fraction):
     # of s32[B*N] runs ~0.7 GB/s; top_k over the same data is ~10x cheaper).
     rand_p = jax.random.uniform(kp, (n,))
     pos_priority = jnp.where(pos, rand_p, NEG_INF)
-    pos_thr = top_k_fast(pos_priority, min(num_pos_quota, n))[0][-1]
-    pos_mask = pos & (pos_priority >= pos_thr)
+    if num_pos_quota > 0:
+        pos_thr = top_k_fast(pos_priority, min(num_pos_quota, n))[0][-1]
+        pos_mask = _take_quota(
+            pos, pos_priority, pos_thr, jnp.asarray(min(num_pos_quota, n))
+        )
+    else:  # POSITIVE_FRACTION 0: negatives only (top_k with k=0 is empty)
+        pos_mask = jnp.zeros_like(pos)
 
     num_pos = jnp.sum(pos_mask)
     num_neg_quota = batch_size_per_image - num_pos  # traced, shapes static
@@ -70,8 +75,22 @@ def sample_masks(labels, key, batch_size_per_image, positive_fraction):
     neg_top = top_k_fast(neg_priority, k_max)[0]
     neg_thr = neg_top[jnp.clip(num_neg_quota - 1, 0, k_max - 1)]
     neg_thr = jnp.where(num_neg_quota > 0, neg_thr, jnp.inf)
-    neg_mask = neg & (neg_priority >= neg_thr)
+    neg_mask = _take_quota(neg, neg_priority, neg_thr, num_neg_quota)
     return pos_mask, neg_mask
+
+
+def _take_quota(cls_mask, priority, thr, quota):
+    """Selects exactly min(quota, |cls_mask & priority > -inf|) elements.
+    float32 priorities DO collide (~2^23 distinct values vs ~2e5 draws), so
+    the naive `priority >= thr` over-selects whenever the threshold value is
+    duplicated; ties at the threshold are broken by index order via a
+    cumulative count, restoring the reference randperm's exact-quota
+    contract."""
+    gt = cls_mask & (priority > thr)
+    eq = cls_mask & (priority == thr)
+    room = quota - jnp.sum(gt)
+    take_eq = eq & (jnp.cumsum(eq) <= room)
+    return gt | take_eq
 
 
 def sample_topk_indices(labels, key, batch_size_per_image, positive_fraction):

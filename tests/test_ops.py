@@ -359,3 +359,29 @@ def test_device_normalize_matches_host_lut():
     # float32 input passes through untouched
     f32 = jnp.asarray(ref_padded)
     assert model._prepare_images(f32, sizes) is f32
+
+
+def test_sampler_zero_positive_fraction():
+    # POSITIVE_FRACTION=0 used to crash (top_k with k=0 indexed empty array)
+    from maskrcnn_tpu.ops.sampler import sample_masks
+
+    labels = jnp.asarray([1, 1, 0, 0, 0, -1, 0, 1], jnp.int32)
+    pos, neg = sample_masks(labels, jax.random.PRNGKey(0), 4, 0.0)
+    assert int(jnp.sum(pos)) == 0
+    assert int(jnp.sum(neg)) == 4
+
+
+def test_sampler_quota_exact_under_ties():
+    # duplicated float32 priorities at the threshold must not over-select
+    from maskrcnn_tpu.ops.sampler import _take_quota
+
+    cls = jnp.asarray([True] * 8 + [False] * 2)
+    # five entries tied at 0.5, two above, one below
+    pri = jnp.asarray(
+        [0.9, 0.8, 0.5, 0.5, 0.5, 0.5, 0.5, 0.1, -1e10, -1e10], jnp.float32
+    )
+    m = _take_quota(cls, pri, jnp.float32(0.5), jnp.asarray(4))
+    assert int(jnp.sum(m)) == 4
+    # the two strictly-greater entries always selected; ties fill by index
+    assert bool(m[0]) and bool(m[1]) and bool(m[2]) and bool(m[3])
+    assert not bool(m[7]) and not bool(m[8])

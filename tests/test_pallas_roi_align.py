@@ -75,3 +75,41 @@ def test_pallas_pooler_channel_constraint():
         multilevel_roi_align_pallas(
             feats, rois, bidx, pcfg, compute_dtype=jnp.float32, interpret=True
         )
+
+
+def test_pallas_pooler_unaligned_shapes_edge_rois():
+    """Level dims where (dim - PATCH_*) is NOT a multiple of 8 (e.g. the real
+    R-50-FPN 100x168 / 50x84 maps). Regression: the window-origin clip bound
+    used to be unaligned, so clipped edge-ROI origins collided with the
+    neighboring 8-aligned origin in the //8 merge key and pooled from the
+    wrong window."""
+    c = 128
+    rs = np.random.RandomState(1)
+    feats = [
+        jnp.asarray(rs.randn(1, 100, 168, c), jnp.float32),
+        jnp.asarray(rs.randn(1, 50, 84, c), jnp.float32),
+    ]
+    pcfg = PoolerConfig(7, (0.25, 0.125), 2)
+    # ROIs hugging the bottom/right image edges (origin clipping territory),
+    # plus interior ones sharing the adjacent aligned window
+    rois = jnp.asarray(
+        [
+            # the conflation pair: raw y0 = 40 vs y0 = 48-clipped-to-44 —
+            # same //8 merge key, DIFFERENT true origins (bound 100-56=44)
+            [100.0, 165.0, 160.0, 250.0],
+            [100.0, 200.0, 160.0, 280.0],
+            [590.0, 330.0, 665.0, 395.0],   # bottom-right corner, level 0
+            [600.0, 20.0, 668.0, 90.0],     # right edge (x bound 168-56=112)
+            [10.0, 340.0, 80.0, 398.0],     # bottom edge
+            [400.0, 200.0, 660.0, 396.0],   # big -> level 1, corner
+            [30.0, 40.0, 90.0, 110.0],      # interior control
+            [620.0, 350.0, 667.0, 399.0],   # small corner box
+        ],
+        jnp.float32,
+    )
+    bidx = jnp.zeros(8, jnp.int32)
+    ref = multilevel_roi_align(feats, rois, bidx, pcfg, compute_dtype=jnp.float32)
+    got = multilevel_roi_align_pallas(
+        feats, rois, bidx, pcfg, compute_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
