@@ -58,7 +58,11 @@ class COCODemo:
         if weight:
             self.params, _, _ = checkpointer.load(weight, params=self.params)
 
-        self.masker = Masker(threshold=0.5, padding=1)
+        # heatmap mode needs graded probabilities: threshold=-1 makes the
+        # masker paste 0-255 probability maps instead of binary masks
+        # (reference predictor.py:118-123)
+        mask_threshold = -1 if show_mask_heatmaps else 0.5
+        self.masker = Masker(threshold=mask_threshold, padding=1)
         self.confidence_threshold = confidence_threshold
         self.show_mask_heatmaps = show_mask_heatmaps
         self.masks_per_dim = masks_per_dim
@@ -212,6 +216,10 @@ class COCODemo:
         montage = (
             grid.reshape(d, d, th, tw).swapaxes(1, 2).reshape(d * th, d * tw)
         )
+        # the heatmap-mode masker (threshold=-1) pastes 0-255 probability
+        # maps; a binary-mode masker would paste {0, 1}
+        if montage.max() > 1.0:
+            montage = montage / 255.0
         return cv2.applyColorMap(
             np.uint8(np.clip(montage, 0, 1) * 255), cv2.COLORMAP_JET
         )

@@ -46,13 +46,37 @@ class DatasetCatalog:
 
     _VOC_SETS = {
         "voc_2007_train": ("voc/VOC2007", "train"),
-        "voc_2007_train_cocostyle": ("voc/VOC2007", "train"),
         "voc_2007_val": ("voc/VOC2007", "val"),
         "voc_2007_test": ("voc/VOC2007", "test"),
-        "voc_2007_test_cocostyle": ("voc/VOC2007", "test"),
         "voc_2012_train": ("voc/VOC2012", "train"),
         "voc_2012_val": ("voc/VOC2012", "val"),
         "voc_2012_test": ("voc/VOC2012", "test"),
+    }
+
+    # cocostyle VOC = COCODataset over pascal JSON annotations (reference
+    # paths_catalog.py:54-65 — NOT PascalVOCDataset: the mask configs need
+    # COCO-style segmentation records)
+    _VOC_COCOSTYLE_SETS = {
+        "voc_2007_train_cocostyle": (
+            "voc/VOC2007/JPEGImages",
+            "voc/VOC2007/Annotations/pascal_train2007.json",
+        ),
+        "voc_2007_val_cocostyle": (
+            "voc/VOC2007/JPEGImages",
+            "voc/VOC2007/Annotations/pascal_val2007.json",
+        ),
+        "voc_2007_test_cocostyle": (
+            "voc/VOC2007/JPEGImages",
+            "voc/VOC2007/Annotations/pascal_test2007.json",
+        ),
+        "voc_2012_train_cocostyle": (
+            "voc/VOC2012/JPEGImages",
+            "voc/VOC2012/Annotations/pascal_train2012.json",
+        ),
+        "voc_2012_val_cocostyle": (
+            "voc/VOC2012/JPEGImages",
+            "voc/VOC2012/Annotations/pascal_val2012.json",
+        ),
     }
 
     _CITYSCAPES_SETS = {
@@ -88,8 +112,16 @@ class DatasetCatalog:
             args["img_dir"] = os.path.join(root, "cityscapes/leftImg8bit")
             args["ann_dir"] = os.path.join(root, "cityscapes/gtFine")
             return dict(factory="CityScapesDataset", args=args)
-        if name in DatasetCatalog._COCO_SETS or name in DatasetCatalog._CITYSCAPES_SETS:
-            table = dict(DatasetCatalog._COCO_SETS, **DatasetCatalog._CITYSCAPES_SETS)
+        if (
+            name in DatasetCatalog._COCO_SETS
+            or name in DatasetCatalog._CITYSCAPES_SETS
+            or name in DatasetCatalog._VOC_COCOSTYLE_SETS
+        ):
+            table = dict(
+                DatasetCatalog._COCO_SETS,
+                **DatasetCatalog._CITYSCAPES_SETS,
+                **DatasetCatalog._VOC_COCOSTYLE_SETS,
+            )
             img_dir, ann_file = table[name]
             return dict(
                 factory="COCODataset",

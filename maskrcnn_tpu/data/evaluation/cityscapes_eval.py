@@ -361,4 +361,26 @@ def do_cityscapes_evaluation(dataset, predictions, box_only, output_folder,
                     f,
                     indent=2,
                 )
+
+    # TEST.EXPECTED_RESULTS acceptance gate — the reference's cityscapes
+    # evaluator ignores these, but this framework builds its acceptance
+    # workflow (tools/eval_zoo.py) on the gate, so it must bind here too.
+    # Expected rows use (task, metric) = ("bbox"/"segm", "allAp"/"allAp50%").
+    if expected_results:
+        errors = []
+        for task, metric, mean, std in expected_results:
+            if task not in results:
+                continue
+            actual = results[task].get(metric)
+            lo = mean - expected_results_sigma_tol * std
+            hi = mean + expected_results_sigma_tol * std
+            ok = actual is not None and lo < actual < hi
+            msg = "{} > {} sanity check {}: {} vs [{:.4f}, {:.4f}]".format(
+                task, metric, "passed" if ok else "FAILED", actual, lo, hi
+            )
+            (logger.info if ok else logger.error)(msg)
+            if not ok:
+                errors.append(msg)
+        if errors:
+            raise AssertionError("\n".join(errors))
     return results

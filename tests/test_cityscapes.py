@@ -157,3 +157,21 @@ def test_eval_ap_hand_computed(fixture):
     for oi in range(len(OVERLAPS)):
         assert ap[0, 1, oi] == pytest.approx(19.0 / 24.0)
     assert np.isnan(ap[0, 0, 0])  # background: no gt, no pred
+
+def test_expected_results_gate(fixture, tmp_path):
+    # the acceptance gate must actually bind for cityscapes datasets
+    img_root, ann_root, _ = fixture
+    ds = CityScapesDataset(img_root, ann_root, "val", mode="poly")
+    preds = _perfect_predictions(ds)
+    # passing gate: allAp50% == 1.0 within tolerance
+    evaluate(
+        ds, preds, str(tmp_path), iou_types=("bbox",),
+        expected_results=[("bbox", "allAp50%", 1.0, 0.01)],
+        expected_results_sigma_tol=4,
+    )
+    with pytest.raises(AssertionError, match="FAILED"):
+        evaluate(
+            ds, preds, str(tmp_path), iou_types=("bbox",),
+            expected_results=[("bbox", "allAp50%", 0.2, 0.01)],
+            expected_results_sigma_tol=4,
+        )
