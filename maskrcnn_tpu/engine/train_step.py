@@ -36,6 +36,14 @@ def make_train_step(model, tx, mesh=None, donate=True):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        # hybrid dp x tp: params/opt-state arrive pre-sharded per
+        # parallel.mesh.shard_params (output-channel tensor parallelism);
+        # jit infers shardings from the committed inputs and XLA places the
+        # collectives (psum over 'data' for grads, all-gathers/reduce-
+        # scatters over 'model' where layouts meet)
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
     rep = replicated(mesh)
     dat = data_sharding(mesh)
     return jax.jit(

@@ -1,4 +1,12 @@
-from .mesh import create_mesh, data_sharding, replicate, replicated, shard_batch
+from .mesh import (
+    create_mesh,
+    data_sharding,
+    replicate,
+    replicated,
+    shard_batch,
+    shard_params,
+    tree_shardings,
+)
 
 __all__ = [
     "create_mesh",
@@ -6,4 +14,6 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "shard_params",
+    "tree_shardings",
 ]

@@ -55,3 +55,36 @@ def shard_batch(batch, mesh):
 def replicate(tree, mesh):
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def tree_shardings(tree, mesh):
+    """Per-leaf NamedSharding for a parameter/optimizer tree.
+
+    Data-only mesh (the default): everything replicated — plain data
+    parallelism. When the mesh carries a "model" axis of size > 1, every
+    rank>=2 leaf whose LAST dim divides the axis is sharded on it
+    (output-channel tensor parallelism: fc [in, out] and conv HWIO [.., out]
+    both split the output dim, the Megatron column layout); 1-D leaves
+    (biases, BN scales) and indivisible shapes stay replicated and XLA's
+    sharding propagation inserts the collectives where layouts meet.
+    """
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        r = replicated(mesh)
+        return jax.tree.map(lambda _: r, tree)
+    mp = mesh.shape["model"]
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 2 and shape[-1] % mp == 0 and shape[-1] >= mp:
+            spec = P(*([None] * (len(shape) - 1) + ["model"]))
+            return NamedSharding(mesh, spec)
+        return replicated(mesh)
+
+    return jax.tree.map(leaf, tree)
+
+
+def shard_params(tree, mesh):
+    """Place a parameter/optimizer tree onto the mesh per tree_shardings
+    (== replicate() on a data-only mesh)."""
+    shardings = tree_shardings(tree, mesh)
+    return jax.tree.map(jax.device_put, tree, shardings)

@@ -149,3 +149,42 @@ def test_multichip_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.heavy
+def test_multichip_2d_mesh_hybrid_tp():
+    """dp x tp: an 8-device (4 data, 2 model) mesh trains one step with
+    output-channel tensor parallelism on the heavy weights (fc/conv last
+    dims sharded over 'model'); XLA places the collectives."""
+    from jax.sharding import Mesh
+
+    from maskrcnn_tpu.engine.train_step import make_train_step
+    from maskrcnn_tpu.parallel.mesh import shard_batch, shard_params, tree_shardings
+    from maskrcnn_tpu.solver import make_optimizer
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "model"))
+
+    c = tiny(cfg.clone())
+    c.merge_from_file(os.path.join(CONFIG_DIR, "e2e_mask_rcnn_R_50_FPN_1x.yaml"))
+    c = tiny(c)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(c, params, model.frozen_mask(params))
+    opt_state = tx.init(params)
+
+    # the box-head fc weight must actually be model-sharded
+    sh = tree_shardings(params, mesh)
+    fc_spec = sh["roi_heads"]["box"]["feature_extractor"]["fc6"]["w"].spec
+    assert tuple(fc_spec) == (None, "model")
+
+    params = shard_params(params, mesh)
+    opt_state = shard_params(opt_state, mesh)
+    batch = shard_batch(make_batch(b=4, with_targets=True), mesh)
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    new_params, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # updated params keep the tensor-parallel layout
+    new_fc = new_params["roi_heads"]["box"]["feature_extractor"]["fc6"]["w"]
+    assert "model" in tuple(p for p in new_fc.sharding.spec if p)

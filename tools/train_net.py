@@ -20,7 +20,7 @@ from maskrcnn_tpu.data import make_data_loader
 from maskrcnn_tpu.engine.inference import inference
 from maskrcnn_tpu.engine.trainer import do_train
 from maskrcnn_tpu.models import build_detection_model
-from maskrcnn_tpu.parallel import create_mesh, replicate
+from maskrcnn_tpu.parallel import create_mesh, shard_params
 from maskrcnn_tpu.solver import make_optimizer
 from maskrcnn_tpu.utils import comm
 from maskrcnn_tpu.utils.checkpoint import DetectronCheckpointer
@@ -56,8 +56,10 @@ def train(cfg, output_dir, distributed):
     if "iteration" in extra:
         arguments["iteration"] = int(extra["iteration"])
 
-    params = replicate(params, mesh)
-    opt_state = replicate(opt_state, mesh)
+    # replicated on a data-only mesh; output-channel tensor parallel when
+    # cfg.TPU.MESH_AXES carries a 'model' axis (parallel/mesh.py)
+    params = shard_params(params, mesh)
+    opt_state = shard_params(opt_state, mesh)
 
     data_loader = make_data_loader(
         cfg, is_train=True, is_distributed=distributed,
