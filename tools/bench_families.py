@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Single-chip train throughput for the non-flagship model families.
+
+bench.py owns the flagship (Mask R-CNN R-50-FPN) driver metric; this tool
+fills in the zoo perf table: Faster R-CNN, Keypoint R-CNN and RetinaNet at
+the same 800x1344 batch-8 conditions and realistic GT statistics.
+
+Run: python tools/bench_families.py [BATCH]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+CONFIGS = [
+    ("faster_rcnn_R_50_FPN", "configs/e2e_faster_rcnn_R_50_FPN_1x.yaml"),
+    ("keypoint_rcnn_R_50_FPN", "configs/e2e_keypoint_rcnn_R_50_FPN_1x.yaml"),
+    ("retinanet_R_50_FPN", "configs/retinanet/retinanet_R-50-FPN_1x.yaml"),
+]
+
+
+def make_batch(c, b, rs):
+    h, w = 800, 1344
+    g = c.TPU.MAX_GT_BOXES
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_labels = np.zeros((b, g), np.int32)
+    for i in range(b):
+        n_gt = int(np.clip(rs.lognormal(mean=1.7, sigma=0.8), 1, g))
+        side = np.exp(rs.uniform(np.log(16), np.log(500), (n_gt, 2)))
+        ctr = rs.uniform(0, 1, (n_gt, 2)) * np.array([w - 1, h - 1])
+        lo = np.clip(ctr - side / 2, 0, None)
+        hi = np.maximum(np.minimum(ctr + side / 2, [w - 1, h - 1]), lo + 2)
+        gt_boxes[i, :n_gt, :2] = lo
+        gt_boxes[i, :n_gt, 2:] = hi
+        gt_labels[i, :n_gt] = rs.randint(1, c.MODEL.ROI_BOX_HEAD.NUM_CLASSES, n_gt)
+    batch = dict(
+        images=rs.randn(b, h, w, 3).astype(np.float32),
+        image_sizes=np.asarray([[800, 1333]] * b, np.int32),
+        gt_boxes=gt_boxes,
+        gt_labels=gt_labels,
+    )
+    if c.MODEL.MASK_ON:
+        s = c.TPU.GT_MASK_SIZE
+        batch["gt_masks"] = (rs.rand(b, g, s, s) > 0.5).astype(np.uint8)
+    if c.MODEL.KEYPOINT_ON:
+        kx = rs.uniform(0, w - 1, (b, g, 17, 1)).astype(np.float32)
+        ky = rs.uniform(0, h - 1, (b, g, 17, 1)).astype(np.float32)
+        kv = rs.randint(0, 3, (b, g, 17, 1)).astype(np.float32)
+        batch["gt_keypoints"] = np.concatenate([kx, ky, kv], axis=-1)
+        batch["gt_labels"] = np.minimum(gt_labels, 1)  # person-only
+    return jax.tree.map(jax.numpy.asarray, batch)
+
+
+def bench_one(name, yaml, b):
+    from maskrcnn_tpu.config import cfg
+    from maskrcnn_tpu.engine.train_step import make_train_step
+    from maskrcnn_tpu.models import build_detection_model
+    from maskrcnn_tpu.solver import make_optimizer
+
+    c = cfg.clone()
+    c.merge_from_file(os.path.join(os.path.dirname(__file__), "..", yaml))
+    c.MODEL.WEIGHT = ""
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(c, params, model.frozen_mask(params))
+    opt_state = tx.init(params)
+    rs = np.random.RandomState(0)
+    batch = make_batch(c, b, rs)
+    step = make_train_step(model, tx, mesh=None, donate=True)
+    rng = jax.random.PRNGKey(1)
+    params, opt_state, m = step(params, opt_state, batch, rng)
+    float(m["loss"])  # compile + sync (block_until_ready lies on the tunnel)
+    iters = 8
+    keys = list(jax.random.split(rng, iters))
+    for k in keys:
+        k.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step(params, opt_state, batch, keys[i])
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        "{:26s} {:7.1f} ms/step  {:6.2f} img/s/chip (batch {})".format(
+            name, dt * 1000, b / dt, b
+        )
+    )
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    for name, yaml in CONFIGS:
+        bench_one(name, yaml, b)
+
+
+if __name__ == "__main__":
+    main()
