@@ -32,7 +32,17 @@ def build_step(b):
     from maskrcnn_tpu.models import build_detection_model
     from maskrcnn_tpu.solver import make_optimizer
 
-    c = _flagship_cfg(tiny=False)
+    # MASKRCNN_TPU_PROFILE_CONFIG overrides the flagship (e.g. the keypoint
+    # or retinanet YAML) to profile other families
+    override = os.environ.get("MASKRCNN_TPU_PROFILE_CONFIG")
+    if override:
+        from maskrcnn_tpu.config import cfg as _cfg
+
+        c = _cfg.clone()
+        c.merge_from_file(override)
+        c.MODEL.WEIGHT = ""
+    else:
+        c = _flagship_cfg(tiny=False)
     c.freeze()
     model = build_detection_model(c)
     params = model.init(jax.random.PRNGKey(0))
@@ -54,14 +64,21 @@ def build_step(b):
         gt_boxes[i, :n, :2] = lo
         gt_boxes[i, :n, 2:] = hi
         gt_labels[i, :n] = rs.randint(1, 81, n)
-    mg = c.TPU.GT_MASK_SIZE  # pre-rasterized gt mask patches ride with the batch
     batch = {
         "images": rs.randn(b, h, w, 3).astype(np.float32),
         "image_sizes": np.asarray([[800, 1333]] * b, np.int32),
         "gt_boxes": gt_boxes,
         "gt_labels": gt_labels,
-        "gt_masks": (rs.rand(b, g, mg, mg) > 0.5).astype(np.uint8),
     }
+    if c.MODEL.MASK_ON and not c.MODEL.RETINANET_ON:
+        mg = c.TPU.GT_MASK_SIZE  # pre-rasterized gt patches ride with the batch
+        batch["gt_masks"] = (rs.rand(b, g, mg, mg) > 0.5).astype(np.uint8)
+    if c.MODEL.KEYPOINT_ON and not c.MODEL.RETINANET_ON:
+        kx = rs.uniform(0, w - 1, (b, g, 17, 1)).astype(np.float32)
+        ky = rs.uniform(0, h - 1, (b, g, 17, 1)).astype(np.float32)
+        kv = rs.randint(0, 3, (b, g, 17, 1)).astype(np.float32)
+        batch["gt_keypoints"] = np.concatenate([kx, ky, kv], axis=-1)
+        batch["gt_labels"] = np.minimum(gt_labels, 1)
     batch = jax.tree.map(jax.numpy.asarray, batch)
     return step, params, opt_state, batch
 
