@@ -84,16 +84,19 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     img_per_sec = b / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "maskrcnn_r50fpn_train_images_per_sec_per_chip",
-                "value": round(img_per_sec, 3),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_DEVICE, 3),
-            }
-        )
-    )
+    # self-auditing efficiency: achieved TFLOP/s and fraction of chip peak
+    # from XLA's cost analysis of the compiled step (utils/flops.py)
+    from maskrcnn_tpu.utils.flops import compiled_flops, mfu_fields
+
+    flops = compiled_flops(step, params, opt_state, batch, keys[0])
+    record = {
+        "metric": "maskrcnn_r50fpn_train_images_per_sec_per_chip",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_DEVICE, 3),
+    }
+    record.update(mfu_fields(flops, dt))
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

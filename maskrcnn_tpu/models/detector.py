@@ -240,7 +240,10 @@ class GeneralizedRCNN:
         gt_labels = batch["gt_labels"]
         gt_valid = gt_labels > 0
 
-        features = self.backbone.apply(params["backbone"], images, self.compute_dtype)
+        with jax.named_scope("backbone"):
+            features = self.backbone.apply(
+                params["backbone"], images, self.compute_dtype
+            )
         anchors = self._anchors(features)
 
         if self.retinanet_on:
@@ -262,7 +265,8 @@ class GeneralizedRCNN:
             return {"loss_retina_cls": cls_loss, "loss_retina_reg": reg_loss}
 
         rng_rpn, rng_box = jax.random.split(rng)
-        objectness, bbox_reg = self._rpn_outputs(params, features)
+        with jax.named_scope("rpn_head"):
+            objectness, bbox_reg = self._rpn_outputs(params, features)
 
         # RPN loss over all anchors
         b = images.shape[0]
@@ -279,23 +283,27 @@ class GeneralizedRCNN:
         reg_cat = jnp.concatenate(
             [r.reshape(b, -1, a, 4).reshape(b, -1, 4) for r in bbox_reg], axis=1
         )
-        loss_obj, loss_rpn_box = rpn_loss(
-            cat_anchors, visible, obj_cat, reg_cat, gt_boxes, gt_valid, rng_rpn,
-            self.rpn_cfg["fg_iou"], self.rpn_cfg["bg_iou"],
-            self.rpn_cfg["batch_per_image"], self.rpn_cfg["positive_fraction"],
-        )
+        with jax.named_scope("rpn_loss"):
+            loss_obj, loss_rpn_box = rpn_loss(
+                cat_anchors, visible, obj_cat, reg_cat, gt_boxes, gt_valid,
+                rng_rpn,
+                self.rpn_cfg["fg_iou"], self.rpn_cfg["bg_iou"],
+                self.rpn_cfg["batch_per_image"],
+                self.rpn_cfg["positive_fraction"],
+            )
         losses = {"loss_objectness": loss_obj, "loss_rpn_box_reg": loss_rpn_box}
         if self.rpn_only:
             return losses
 
         # proposals (no grad through selection, generalized_rcnn/inference)
-        prop_boxes, prop_scores, prop_valid = select_proposals(
-            [lax.stop_gradient(x) for x in anchors],
-            [lax.stop_gradient(o) for o in objectness],
-            [lax.stop_gradient(r) for r in bbox_reg],
-            image_sizes, self.rpn_cfg, is_train=True,
-            gt_boxes=gt_boxes, gt_valid=gt_valid,
-        )
+        with jax.named_scope("proposals"):
+            prop_boxes, prop_scores, prop_valid = select_proposals(
+                [lax.stop_gradient(x) for x in anchors],
+                [lax.stop_gradient(o) for o in objectness],
+                [lax.stop_gradient(r) for r in bbox_reg],
+                image_sizes, self.rpn_cfg, is_train=True,
+                gt_boxes=gt_boxes, gt_valid=gt_valid,
+            )
 
         hcfg = cfg.MODEL.ROI_HEADS
         gt_usable = None
@@ -305,26 +313,29 @@ class GeneralizedRCNN:
             gt_usable = kh.keypoints_within_box_filter(
                 batch["gt_keypoints"].astype(jnp.float32), gt_boxes
             )
-        targets = bh.prepare_box_targets(
-            prop_boxes, prop_valid, gt_boxes, gt_labels, rng_box,
-            hcfg.FG_IOU_THRESHOLD, hcfg.BG_IOU_THRESHOLD,
-            hcfg.BATCH_SIZE_PER_IMAGE, hcfg.POSITIVE_FRACTION,
-            self.box_reg_weights, gt_usable=gt_usable,
-        )
+        with jax.named_scope("box_targets"):
+            targets = bh.prepare_box_targets(
+                prop_boxes, prop_valid, gt_boxes, gt_labels, rng_box,
+                hcfg.FG_IOU_THRESHOLD, hcfg.BG_IOU_THRESHOLD,
+                hcfg.BATCH_SIZE_PER_IMAGE, hcfg.POSITIVE_FRACTION,
+                self.box_reg_weights, gt_usable=gt_usable,
+            )
 
         pb = self._infer_pooler_backend(
             len(self.box_pooler.scales), is_train=True
         )
         rois_flat, batch_idx = _flatten_rois(targets["rois"])
-        class_logits, box_regression, _ = bh.run_box_head(
-            params["roi_heads"]["box"], self._box_features(features),
-            rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
-            pooler_backend=pb,
-        )
-        cls_loss, box_loss = bh.box_head_loss(
-            class_logits, box_regression, targets,
-            cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
-        )
+        with jax.named_scope("box_head"):
+            class_logits, box_regression, _ = bh.run_box_head(
+                params["roi_heads"]["box"], self._box_features(features),
+                rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
+                pooler_backend=pb,
+            )
+        with jax.named_scope("box_loss"):
+            cls_loss, box_loss = bh.box_head_loss(
+                class_logits, box_regression, targets,
+                cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+            )
         losses["loss_classifier"] = cls_loss
         losses["loss_box_reg"] = box_loss
 
@@ -340,51 +351,56 @@ class GeneralizedRCNN:
             pos_flat, pos_batch = _flatten_rois(pos_rois)
 
         if self.mask_on:
-            x = self._run_mask_extractor(
-                params, features, pos_flat, pos_batch, pooler_backend=pb
-            )
-            # gt-class-only logits: the loss never reads the other C-1
-            # channels, and skipping them avoids a [B*Km, M, M, C] f32
-            # zeros+scatter in the backward pass
-            mask_logits = mh.apply_mask_predictor_at_class(
-                params["roi_heads"]["mask"]["predictor"], x,
-                pos_labels.reshape(-1), cfg, self.compute_dtype
-            )  # [B*Km, M, M]
-            # gather matched gt mask patches
-            gt_masks = batch["gt_masks"].astype(jnp.float32)  # [B, G, S, S]
-            patches = jax.vmap(lambda p, i: p[i])(gt_masks, pos_mg)  # [B,Km,S,S]
-            s = patches.shape[-1]
-            km = pos_rois.shape[1]
-            matched_boxes = jax.vmap(lambda gb, i: gb[i])(gt_boxes, pos_mg)
-            m_res = mask_logits.shape[1]
-            tgt = mh.project_gt_masks(
-                patches.reshape(-1, s, s),
-                matched_boxes.reshape(-1, 4),
-                pos_flat,
-                m_res,
-            )
-            losses["loss_mask"] = mh.mask_head_loss_picked(
-                mask_logits, tgt, pos_valid.reshape(-1)
-            )
+            with jax.named_scope("mask_head"):
+                x = self._run_mask_extractor(
+                    params, features, pos_flat, pos_batch, pooler_backend=pb
+                )
+                # gt-class-only logits: the loss never reads the other C-1
+                # channels, and skipping them avoids a [B*Km, M, M, C] f32
+                # zeros+scatter in the backward pass
+                mask_logits = mh.apply_mask_predictor_at_class(
+                    params["roi_heads"]["mask"]["predictor"], x,
+                    pos_labels.reshape(-1), cfg, self.compute_dtype
+                )  # [B*Km, M, M]
+            with jax.named_scope("mask_targets"):
+                # gather matched gt mask patches
+                gt_masks = batch["gt_masks"].astype(jnp.float32)  # [B,G,S,S]
+                patches = jax.vmap(lambda p, i: p[i])(gt_masks, pos_mg)
+                s = patches.shape[-1]
+                km = pos_rois.shape[1]
+                matched_boxes = jax.vmap(lambda gb, i: gb[i])(gt_boxes, pos_mg)
+                m_res = mask_logits.shape[1]
+                tgt = mh.project_gt_masks(
+                    patches.reshape(-1, s, s),
+                    matched_boxes.reshape(-1, 4),
+                    pos_flat,
+                    m_res,
+                )
+                losses["loss_mask"] = mh.mask_head_loss_picked(
+                    mask_logits, tgt, pos_valid.reshape(-1)
+                )
 
         if self.keypoint_on:
-            kp_logits = kh.run_keypoint_head(
-                params["roi_heads"]["keypoint"],
-                features[: len(self.kp_pooler.scales)],
-                pos_flat, pos_batch, self.kp_pooler, cfg, self.compute_dtype,
-                pooler_backend=self._infer_pooler_backend(
-                    len(self.kp_pooler.scales), is_train=True
-                ),
-            )
-            gt_kps = batch["gt_keypoints"].astype(jnp.float32)  # [B, G, K, 3]
-            matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)
-            kshape = matched_kps.shape
-            losses["loss_kp"] = kh.keypoint_head_loss(
-                kp_logits,
-                matched_kps.reshape(-1, kshape[2], 3),
-                pos_flat,
-                pos_valid.reshape(-1),
-            )
+            with jax.named_scope("keypoint_head"):
+                kp_logits = kh.run_keypoint_head(
+                    params["roi_heads"]["keypoint"],
+                    features[: len(self.kp_pooler.scales)],
+                    pos_flat, pos_batch, self.kp_pooler, cfg,
+                    self.compute_dtype,
+                    pooler_backend=self._infer_pooler_backend(
+                        len(self.kp_pooler.scales), is_train=True
+                    ),
+                )
+            with jax.named_scope("keypoint_loss"):
+                gt_kps = batch["gt_keypoints"].astype(jnp.float32)
+                matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)
+                kshape = matched_kps.shape
+                losses["loss_kp"] = kh.keypoint_head_loss(
+                    kp_logits,
+                    matched_kps.reshape(-1, kshape[2], 3),
+                    pos_flat,
+                    pos_valid.reshape(-1),
+                )
         return losses
 
     # -- inference --------------------------------------------------------------------

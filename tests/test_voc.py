@@ -42,6 +42,65 @@ def test_voc_eval_perfect_predictions(voc):
     assert result["map"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_voc_eval_hand_computed_ap():
+    """Golden AP worked out by hand for a curve exercising every rule:
+    duplicate suppression, difficult-box ignoring, false positives, and the
+    VOC07 11-point vs continuous metrics.
+
+    One class, two images. gt: img0 has one normal box + one difficult box;
+    img1 one normal box (2 countable gts). Ranked detections produce
+    outcomes [tp, dup-fp, difficult-ignored, fp, tp] ->
+    precision [1, 1/2, -, 1/3, 1/2], recall [.5, .5, -, .5, 1].
+    VOC07: 6 recall points at p=1 (t<=0.5) + 5 at p=0.5 -> 8.5/11.
+    Continuous: 0.5*1 + 0.5*0.5 = 0.75.
+    """
+    from maskrcnn_tpu.data.evaluation.voc_eval import eval_detection_voc
+
+    size = (100, 100)
+
+    def boxlist(boxes, labels, scores=None, difficult=None):
+        b = BoxList(np.asarray(boxes, np.float32).reshape(-1, 4), size)
+        b.add_field("labels", np.asarray(labels, np.int64))
+        if scores is not None:
+            b.add_field("scores", np.asarray(scores, np.float32))
+        if difficult is not None:
+            b.add_field("difficult", np.asarray(difficult, np.uint8))
+        return b
+
+    g1, g2, g3 = [0, 0, 9, 9], [20, 20, 29, 29], [0, 0, 9, 9]
+    far = [50, 50, 59, 59]
+    gts = [
+        boxlist([g1, g2], [1, 1], difficult=[0, 1]),
+        boxlist([g3], [1], difficult=[0]),
+    ]
+    preds = [
+        boxlist([g1, g1, g2], [1, 1, 1], scores=[0.9, 0.8, 0.7]),
+        boxlist([far, g3], [1, 1], scores=[0.6, 0.5]),
+    ]
+    r07 = eval_detection_voc(preds, gts, iou_thresh=0.5, use_07_metric=True)
+    assert r07["ap"][1] == pytest.approx(8.5 / 11, abs=1e-9)
+    rc = eval_detection_voc(preds, gts, iou_thresh=0.5, use_07_metric=False)
+    assert rc["ap"][1] == pytest.approx(0.75, abs=1e-9)
+
+
+def test_voc_eval_class_without_detections_or_gt():
+    """A class with gt but no detections scores AP 0; a class with
+    detections but no gt anywhere is excluded (nan) from the mean."""
+    from maskrcnn_tpu.data.evaluation.voc_eval import eval_detection_voc
+
+    size = (100, 100)
+    gt = BoxList(np.asarray([[0, 0, 9, 9]], np.float32), size)
+    gt.add_field("labels", np.asarray([1], np.int64))
+    gt.add_field("difficult", np.asarray([0], np.uint8))
+    pred = BoxList(np.asarray([[0, 0, 9, 9]], np.float32), size)
+    pred.add_field("labels", np.asarray([2], np.int64))
+    pred.add_field("scores", np.asarray([0.9], np.float32))
+    r = eval_detection_voc([pred], [gt], use_07_metric=True)
+    assert r["ap"][1] == pytest.approx(0.0)
+    assert np.isnan(r["ap"][2])
+    assert r["map"] == pytest.approx(0.0)
+
+
 def test_voc_eval_penalizes_misses(voc):
     ds = PascalVOCDataset(voc, "test", use_difficult=True)
     preds = []

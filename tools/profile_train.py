@@ -141,6 +141,23 @@ def main():
 
     print(f"\ndevice op total: {total / 3:.1f} ms/step")
 
+    # rollup by model phase (jax.named_scope annotations in the tf_op path)
+    SCOPES = (
+        "backbone", "rpn_head", "rpn_loss", "proposals", "box_targets",
+        "box_head", "box_loss", "mask_head", "mask_targets",
+        "keypoint_head", "keypoint_loss",
+    )
+    scopes = defaultdict(float)
+    for k, v in agg.items():
+        src = meta.get(k, "")
+        hit = next((s for s in SCOPES if s in src), "<unattributed>")
+        if hit != "<unattributed>" and "transpose(" in src:
+            hit += " bwd"
+        scopes[hit] += v
+    print("\nby phase (named_scope):")
+    for s, v in sorted(scopes.items(), key=lambda kv: -kv[1]):
+        print(f"  {s:24s} {v / 3:8.2f} ms/step {100 * v / total:5.1f}%")
+
     # rollup by op family: which phase owns the time
     cats = defaultdict(float)
     for k, v in agg.items():
