@@ -22,13 +22,14 @@ def make_train_step(model, tx, mesh=None, donate=True):
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(
-            lambda p, u: (p + u.astype(p.dtype)) if u is not None else p,
-            params,
-            updates,
-            is_leaf=lambda x: x is None,
-        )
+        with jax.named_scope("optimizer"):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(
+                lambda p, u: (p + u.astype(p.dtype)) if u is not None else p,
+                params,
+                updates,
+                is_leaf=lambda x: x is None,
+            )
         metrics = dict(losses)
         metrics["loss"] = total
         return params, opt_state, metrics

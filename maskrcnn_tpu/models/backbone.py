@@ -70,11 +70,12 @@ def build_backbone(cfg):
 
         def apply(params, x, compute_dtype=jnp.bfloat16):
             feats = apply_resnet(params["body"], x, rcfg, compute_dtype)
-            return apply_fpn(
-                params["fpn"], feats, use_gn, use_relu, gn_groups,
-                top_block="p6p7", top_block_params=params["top"],
-                p6p7_use_c5=use_c5, compute_dtype=compute_dtype,
-            )
+            with jax.named_scope("fpn"):
+                return apply_fpn(
+                    params["fpn"], feats, use_gn, use_relu, gn_groups,
+                    top_block="p6p7", top_block_params=params["top"],
+                    p6p7_use_c5=use_c5, compute_dtype=compute_dtype,
+                )
 
         def frozen_mask(params):
             return {
@@ -98,10 +99,11 @@ def build_backbone(cfg):
 
     def apply(params, x, compute_dtype=jnp.bfloat16):
         feats = apply_resnet(params["body"], x, rcfg, compute_dtype)
-        return apply_fpn(
-            params["fpn"], feats, use_gn, use_relu, gn_groups,
-            top_block="maxpool", compute_dtype=compute_dtype,
-        )
+        with jax.named_scope("fpn"):
+            return apply_fpn(
+                params["fpn"], feats, use_gn, use_relu, gn_groups,
+                top_block="maxpool", compute_dtype=compute_dtype,
+            )
 
     def frozen_mask(params):
         return {

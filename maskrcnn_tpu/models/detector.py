@@ -214,6 +214,9 @@ class GeneralizedRCNN:
         inputs are assumed already normalized and zero-padded on host."""
         if images.dtype != jnp.uint8:
             return images
+        return self._normalize_uint8(images, image_sizes)
+
+    def _normalize_uint8(self, images, image_sizes):
         x = images.astype(jnp.float32)
         if self.to_bgr255:
             x = x[..., ::-1]

@@ -169,8 +169,56 @@ def init_stem(key, cout, norm_kind):
     }
 
 
+def _stem_conv_s2d(x, p, compute_dtype):
+    """The 7x7/stride-2/pad-3 stem conv as a space-to-depth(2) + 4x4/stride-1
+    conv. The direct form runs at ~3% MXU utilization on TPU (3 input
+    channels occupy 3/128 lanes and the strided 7x7 window defeats the conv
+    tiler); regrouping 2x2 pixel blocks into 12 channels and scattering the
+    49 taps into a 4x4 kernel over blocks is mathematically identical
+    (same taps, same zero padding) and measures ~5x faster. Mirrors the
+    classic detectron2/XLA stem space-to-depth optimization; numerics differ
+    from the direct conv only by bf16 summation order.
+    """
+    w7 = p["w"]  # [7, 7, 3, 64]
+    cin, cout = w7.shape[2], w7.shape[3]
+    # w8[m, n, dy, dx, c, o] = w7[2m+dy-1, 2n+dx-1, c, o] (zero outside)
+    wp = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8, 8, cin, cout]
+    w8 = (
+        wp.reshape(4, 2, 4, 2, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * cin, cout)
+    )
+    b, h, w, _ = x.shape
+    # out[p] needs x[2p-3 .. 2p+3]; with a 4-pixel top/left pad the block
+    # conv's valid window covers exactly those taps
+    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    hp, wpix = h + 8, w + 8
+    x2 = (
+        xp.reshape(b, hp // 2, 2, wpix // 2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, hp // 2, wpix // 2, 4 * cin)
+    )
+    out = lax.conv_general_dilated(
+        x2.astype(compute_dtype),
+        w8.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[:, : (h + 1) // 2, : (w + 1) // 2, :]
+
+
 def apply_stem(p, x, norm_kind, gn_groups, compute_dtype):
-    x = conv2d(x, p["conv1"], stride=2, padding=3, compute_dtype=compute_dtype)
+    c = p["conv1"]
+    if (
+        c["w"].shape[:2] == (7, 7)
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+        and "b" not in c
+    ):
+        x = _stem_conv_s2d(x, c, compute_dtype)
+    else:
+        x = conv2d(x, c, stride=2, padding=3, compute_dtype=compute_dtype)
     x = relu(_apply_norm(x, p["bn1"], norm_kind, gn_groups))
     return max_pool2d(x, window=3, stride=2, padding=1)
 
@@ -235,7 +283,8 @@ def apply_resnet(params, x, rcfg, compute_dtype=jnp.bfloat16):
     stem_p = params["stem"]
     if rcfg.freeze_at >= 1:
         stem_p = jax.tree.map(lax.stop_gradient, stem_p)
-    x = apply_stem(stem_p, x, rcfg.norm_kind, rcfg.gn_groups, compute_dtype)
+    with jax.named_scope("stem"):
+        x = apply_stem(stem_p, x, rcfg.norm_kind, rcfg.gn_groups, compute_dtype)
     outputs = []
     for idx, st in enumerate(rcfg.stages):
         sp = params[st["name"]]
@@ -243,11 +292,12 @@ def apply_resnet(params, x, rcfg, compute_dtype=jnp.bfloat16):
         # when freeze_at >= i + 1 (stage index 1 frozen at freeze_at=2).
         if rcfg.freeze_at >= idx + 2:
             sp = jax.tree.map(lax.stop_gradient, sp)
-        x = apply_stage(
-            sp, x, st["first_stride"], st["dilation"], rcfg.num_groups,
-            rcfg.stride_in_1x1, rcfg.norm_kind, rcfg.gn_groups, compute_dtype,
-            dcn=st.get("dcn"),
-        )
+        with jax.named_scope(st["name"]):
+            x = apply_stage(
+                sp, x, st["first_stride"], st["dilation"], rcfg.num_groups,
+                rcfg.stride_in_1x1, rcfg.norm_kind, rcfg.gn_groups,
+                compute_dtype, dcn=st.get("dcn"),
+            )
         if st["return_features"]:
             outputs.append(x)
     return outputs

@@ -15,9 +15,9 @@ TPU redesign highlights (SURVEY.md §7):
 import jax
 import jax.numpy as jnp
 
-from ..ops.box_ops import clip_boxes_to_image, decode_boxes, encode_boxes, box_iou, small_box_mask
+from ..ops.box_ops import clip_boxes_to_image, decode_boxes, encode_boxes, small_box_mask
 from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
-from ..ops.matcher import match_proposals
+from ..ops.matcher import match_anchors_streaming
 from ..ops.nms import NEG_INF, batched_nms
 from ..ops.sampler import sample_topk_indices, top_k_fast
 from .layers import conv2d, init_conv, relu
@@ -188,8 +188,9 @@ def rpn_loss(
     keys = jax.random.split(rng, b)
 
     def per_image(anchors_vis, gt_b, gt_v, obj, reg, key):
-        iou = box_iou(gt_b, anchors)  # [G, N]
-        matched = match_proposals(iou, gt_v, fg_iou, bg_iou, allow_low_quality_matches=True)
+        # streaming matcher: the [G, N] IoU table at N~270k anchors is
+        # ~100 MB/image; match_anchors_streaming folds it chunk-by-chunk
+        matched = match_anchors_streaming(anchors, gt_b, gt_v, fg_iou, bg_iou)
         labels = jnp.where(matched >= 0, 1, jnp.where(matched == -1, 0, -1))
         # discard anchors outside the image (visibility)
         labels = jnp.where(anchors_vis, labels, -1)

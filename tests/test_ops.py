@@ -145,6 +145,50 @@ def test_matcher_thresholds_and_low_quality():
     np.testing.assert_array_equal(np.asarray(m2), [0, -2, 1, -1])
 
 
+def test_streaming_matcher_matches_dense():
+    """match_anchors_streaming == match_proposals(box_iou(...)) bit-for-bit,
+    including low-quality restores, padded gt, and the chunk-pad tail."""
+    from maskrcnn_tpu.ops.matcher import match_anchors_streaming
+
+    rng = np.random.RandomState(7)
+    n, g = 1000, 12
+    anchors = np.sort(rng.uniform(0, 300, (n, 2, 2)), axis=1).reshape(n, 4)
+    anchors = anchors[:, [0, 2, 1, 3]].astype(np.float32)
+    gt = np.sort(rng.uniform(0, 300, (g, 2, 2)), axis=1).reshape(g, 4)
+    gt = gt[:, [0, 2, 1, 3]].astype(np.float32)
+    gt_valid = np.arange(g) < 9
+
+    iou = box_iou(jnp.asarray(gt), jnp.asarray(anchors))
+    dense = match_proposals(
+        iou, jnp.asarray(gt_valid), 0.7, 0.3, allow_low_quality_matches=True
+    )
+    # chunk=256 forces a padded tail (1000 % 256 != 0) and multiple chunks
+    streamed = match_anchors_streaming(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(gt_valid),
+        0.7, 0.3, chunk=256,
+    )
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(streamed))
+
+
+def test_stem_s2d_matches_direct_conv():
+    """The space-to-depth stem rewrite computes the identical 7x7/s2/p3
+    convolution (same taps, same zero padding) up to summation order."""
+    from maskrcnn_tpu.models.resnet import _stem_conv_s2d
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32))
+    direct = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    s2d = _stem_conv_s2d(x, {"w": w}, jnp.float32)
+    assert s2d.shape == direct.shape
+    np.testing.assert_allclose(
+        np.asarray(s2d), np.asarray(direct), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_matcher_ignores_padded_gt():
     iou = jnp.asarray([[0.9, 0.8], [0.0, 0.0]])
     gt_valid = jnp.array([True, False])

@@ -142,7 +142,10 @@ def main():
     print(f"\ndevice op total: {total / 3:.1f} ms/step")
 
     # rollup by model phase (jax.named_scope annotations in the tf_op path)
+    # finer backbone scopes first: "stem" must win over the enclosing
+    # "backbone" in the first-substring-match attribution below
     SCOPES = (
+        "stem", "layer1", "layer2", "layer3", "layer4", "fpn",
         "backbone", "rpn_head", "rpn_loss", "proposals", "box_targets",
         "box_head", "box_loss", "mask_head", "mask_targets",
         "keypoint_head", "keypoint_loss",
