@@ -238,7 +238,8 @@ class GeneralizedRCNN:
     def train_forward(self, params, batch, rng):
         cfg = self.cfg
         image_sizes = batch["image_sizes"]
-        images = self._prepare_images(batch["images"], image_sizes)
+        with jax.named_scope("image_prep"):
+            images = self._prepare_images(batch["images"], image_sizes)
         gt_boxes = batch["gt_boxes"].astype(jnp.float32)
         gt_labels = batch["gt_labels"]
         gt_valid = gt_labels > 0

@@ -13,6 +13,8 @@ ROIs across all levels — no scatter, no per-level batching, fixed shapes.
 
 import math
 
+import os
+
 import jax.numpy as jnp
 
 from ..ops.box_ops import TO_REMOVE
@@ -86,7 +88,9 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg,
     if backend == "pallas_train":
         from ..ops.pallas.roi_align_kernel import make_trainable_roi_align
 
-        fn = make_trainable_roi_align(pcfg, compute_dtype, bwd_impl="rmw")
+        fn = make_trainable_roi_align(
+            pcfg, compute_dtype,
+            bwd_impl=os.environ.get("MASKRCNN_POOLER_BWD", "roi"))
         return fn(tuple(features), boxes, batch_idx)
     ph, pw = pcfg.output_size
     s = pcfg.adaptive_max if pcfg.adaptive else pcfg.sampling_ratio

@@ -1,5 +1,6 @@
-"""Pallas TPU kernel: multi-level ROIAlign as patch-DMA + two MXU matmuls,
-with window-merged DMA (forward) and window-merged scatter (backward).
+"""Pallas TPU kernel: multi-level ROIAlign as patch-DMA + slot-batched MXU
+matmuls, with pipelined window DMA (forward) and window-merged RMW scatter
+(backward).
 
 XLA's row-gather tops out around 40 GB/s effective on TPU, making the
 gather-based pooler the hot spot of the R-CNN step. This kernel exploits
@@ -9,7 +10,7 @@ three structural facts:
    roughly the canonical 14-28 cells (a 1333px image is only 42 cells at
    the coarsest clamped level), so a fixed [PATCH, PATCH] window of the
    assigned level covers (virtually) every ROI's samples. One strided DMA
-   per ROI fetches that window at full HBM bandwidth.
+   per unique window fetches it at full HBM bandwidth.
 
 2. ROIAlign is separable: with sample weights wy (x) wx, the S x S bin
    average equals (sum-in-bin wy) (x) (sum-in-bin wx), so pooling is EXACTLY
@@ -20,13 +21,33 @@ three structural facts:
 3. Training ROIs CLUSTER: the 512 sampled proposals per image concentrate
    around the few ground-truth objects, so with window origins quantized to
    8 cells, ~10 ROIs on average share the exact same (level, image, y0, x0)
-   window (measured on the realistic-GT bench distribution). Sorting ROIs
-   by window key lets the sequential kernel grid (a) DMA each unique window
-   once instead of once per ROI in the forward, and (b) accumulate the
-   whole group's gradient in VMEM and do ONE read-modify-write round trip
-   per unique window in the backward — a ~10x cut of the dominant HBM
-   traffic. Scalar-prefetch data-dependent block indexing keeps the
-   outputs in original ROI order (no host-visible permutation).
+   window (measured on the realistic-GT bench distribution). ROIs are
+   sorted by window key and processed BLOCK at a time per grid program.
+
+Why slot-batched: a per-ROI [P, PATCH_Y] @ patch matmul occupies only
+P (7 or 14) of the MXU's 128 rows — a measured ~1.1 us/ROI, 8.8 ms/step at
+R=4096 and the single largest pooler cost. Instead each program stacks its
+BLOCK ROIs' row weights into one [BLOCK*P, PATCH_Y] matrix, zero-masking
+each ROI's rows to its own window "slot" (a block's ROIs span 1-2 distinct
+windows on the train distribution, up to BLOCK in the worst case), and
+issues ONE matmul per distinct window in the block — a ~5x stage-1 cut at
+full MXU row occupancy with unchanged numerics (masked rows contribute
+exactly zero).
+
+Forward window DMAs are double-buffered: the program that starts window w
+immediately issues the DMA for window w+1 into the other patch buffer, so
+the ~10 us issue+transfer latency hides behind the current window's
+matmuls (sequential TPU grid; window w+2 cannot be requested before w+1
+starts, so a 2-deep pipeline is always safe).
+
+The backward never reads feature windows at all: the cotangent of window w
+is dPatch_w = sum_{ROIs r in w} RowW_r^T @ (dOut_r @ ColW_r), and the sum
+over a block's ROIs rides the SAME stacked-matmul contraction
+([BLOCK*P, PATCH_Y]^T @ [BLOCK*P, PATCH_W*C]) — replacing R per-ROI 3.2 MB
+VMEM accumulations with one MXU op per (block, window). Groups spanning
+blocks chain through a VMEM accumulator; each unique window does ONE
+read-modify-write round trip into the per-level gradient buffers (safe on
+the sequential grid, replacing the reference's global-memory atomicAdd).
 
 The bilinear/bin weights (RowW/ColW) are built in plain jnp outside the
 kernel — tiny [R, P, PATCH] tensors — carrying all reference semantics
@@ -51,6 +72,15 @@ from jax.experimental.pallas import tpu as pltpu
 PATCH = 48    # exactly-covered ROI extent (cells)
 PATCH_Y = 56  # DMA window rows: 8-quantized y origin + 48-cell extent
 PATCH_W = 56  # DMA window cols: 8-aligned x origin + 48-cell extent
+BLOCK = 8     # ROIs per grid program (see module docstring: slot batching)
+_DMA_SPLIT = 4  # row-chunks per window copy (parallel DMAs hide the
+                # per-row descriptor latency of the strided HBM region)
+import os as _os
+_SPLIT_K = _os.environ.get("MASKRCNN_POOLER_SPLIT_K", "0") == "1"
+
+
+# scalar-prefetch argument order shared by both kernels
+_NSCALAR = 10  # svalid, sfirst, swid, slot, wlvl, wb, wy0, wx0, wvalid, nwm1
 
 
 def _padded_hw(h, w):
@@ -62,72 +92,6 @@ def _padded_hw(h, w):
     window, and (b) falsify the kernels' multiple_of(x0, 8) sublane hint."""
     rup = lambda v: -(-v // 8) * 8
     return max(PATCH_Y, rup(h)), max(PATCH_W, rup(w))
-
-
-def _window_rmw_add(grad_refs, acc_ref, tmp_ref, sem, num_levels,
-                    lvl, b, y0, x0):
-    """grad[lvl][b, y0:y0+PATCH_Y, x0:x0+PATCH_W, :] += acc (one round trip).
-    Safe on the sequential TPU grid (no concurrent programs)."""
-    for k in range(num_levels):
-        @pl.when(lvl == k)
-        def _():
-            region = grad_refs[k].at[b, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_W), :]
-            cp_in = pltpu.make_async_copy(region, tmp_ref, sem)
-            cp_in.start()
-            cp_in.wait()
-            tmp_ref[:, :, :] = tmp_ref[:, :, :] + acc_ref[:, :, :]
-            cp_out = pltpu.make_async_copy(tmp_ref, region, sem)
-            cp_out.start()
-            cp_out.wait()
-
-
-def _kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
-            roww_ref, colw_ref, *rest, num_levels, p, c):
-    level_refs = rest[:num_levels]
-    out_ref = rest[num_levels]
-    patch_ref, sem = rest[num_levels + 1:]
-
-    i = pl.program_id(0)
-    j = perm_ref[i]
-    lvl = lvl_ref[j]
-    b = b_ref[j]
-    y0 = y0_ref[j]
-    x0 = pl.multiple_of(x0_ref[j], 8)
-
-    # one DMA per unique window: ROIs are visited in window-sorted order and
-    # patch_ref persists across the sequential grid
-    for k in range(num_levels):
-        @pl.when((newg_ref[i] == 1) & (lvl == k))
-        def _():
-            cp = pltpu.make_async_copy(
-                level_refs[k].at[b, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_W), :],
-                patch_ref,
-                sem,
-            )
-            cp.start()
-            cp.wait()
-
-    patch = patch_ref[:, :, :].reshape(PATCH_Y, PATCH_W * c)
-    roww = roww_ref[0]  # [P, PATCH_Y] f32
-    if patch.dtype == jnp.float32:
-        a = jnp.dot(roww, patch, preferred_element_type=jnp.float32)
-    else:
-        # split-f32 matmul: keep the (bf16) patch un-cast — the 800K-element
-        # f32 cast per ROI costs more than the matmul — and recover f32
-        # weight precision as hi+lo bf16 passes (error ~2^-16 relative)
-        hi = roww.astype(jnp.bfloat16)
-        lo = (roww - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        a = jnp.dot(hi, patch, preferred_element_type=jnp.float32) + jnp.dot(
-            lo, patch, preferred_element_type=jnp.float32
-        )
-    a = a.reshape(p, PATCH_W, c)
-
-    # column contraction as p small MXU matmuls (a VPU sweep of `a` per
-    # output column is ~2 us/ROI; the MXU does it in ~0.1):
-    # out[pi, q, ch] = sum_w colw[q, w] * a[pi, w, ch]
-    colw = colw_ref[0]  # [P, PATCH_W] f32
-    for pi in range(p):  # a is already f32 (preferred_element_type above)
-        out_ref[0, pi] = jnp.dot(colw, a[pi], preferred_element_type=jnp.float32)
 
 
 def _bin_weights(coords, mask, n_bins, s, patch_extent):
@@ -156,11 +120,17 @@ def _bin_weights(coords, mask, n_bins, s, patch_extent):
 
 
 def _precompute(features, boxes, batch_idx, pcfg):
-    """The (perm, newg, lvl, b, y0, x0, roww, colw) tuple the kernels consume.
+    """Everything the kernels consume, window-sorted and BLOCK-padded.
 
-    Window origins are quantized (y to 8 rows; x was already 8-aligned for
-    sublane tiling), ROIs are sorted by (level, image, y0, x0) key, and
-    newg[i] marks the first ROI of each unique-window group in sorted order.
+    Returns a dict:
+      perm/inv      sort permutation and its inverse (original <-> sorted)
+      roww/colw     [Rp, P, PATCH_*] separable weights, sorted, zero-padded
+      smask         [Rp, BLOCK] one-hot of each ROI's slot within its block
+      svalid/sfirst/swid/slot   per-(block, slot) flat tables [Rp]
+      wlvl/wb/wy0/wx0/wvalid    per-window tables [Rp+2]
+      nwm1          [1] last window ordinal
+    A "slot" is the s-th distinct window among a block's BLOCK sorted ROIs;
+    a "window" is a maximal run of equal (level, image, y0, x0) keys.
     """
     from ...models.poolers import assign_levels
 
@@ -220,7 +190,179 @@ def _precompute(features, boxes, batch_idx, pcfg):
     newg = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
     )
-    return (perm, newg, lvl, batch_idx.astype(jnp.int32), y0, x0, roww, colw)
+
+    r = key.shape[0]
+    inv = jnp.zeros((r,), jnp.int32).at[perm].set(
+        jnp.arange(r, dtype=jnp.int32)
+    )
+    take = lambda a: jnp.take(a, perm, axis=0)
+    lvl_s, b_s, y0_s, x0_s = (
+        take(lvl), take(batch_idx.astype(jnp.int32)), take(y0), take(x0)
+    )
+    roww_s, colw_s = take(roww), take(colw)
+    # pad to a BLOCK multiple: tail rows REPLICATE the last real row's window
+    # scalars (so they join the last window/slot with zero weights — zero
+    # output, zero gradient, and the final flush still targets the true
+    # last window)
+    pad = (-r) % BLOCK
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
+        )
+        lvl_s, b_s, y0_s, x0_s = rep(lvl_s), rep(b_s), rep(y0_s), rep(x0_s)
+        newg = jnp.concatenate([newg, jnp.zeros((pad,), jnp.int32)])
+        zpad = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        roww_s, colw_s = zpad(roww_s), zpad(colw_s)
+    rp = r + pad
+    nb = rp // BLOCK
+
+    # slot structure: s-th distinct window among each block's sorted ROIs
+    k_in = jnp.arange(rp) % BLOCK
+    newg_blk = jnp.where(k_in == 0, 1, newg)
+    slot = (
+        jnp.cumsum(newg_blk.reshape(nb, BLOCK), axis=1) - 1
+    ).reshape(rp).astype(jnp.int32)
+    sflat = (jnp.arange(rp) // BLOCK) * BLOCK + slot
+    # all ROIs of a (block, slot) share the window, so duplicate-index
+    # scatters below are write-anything-identical (deterministic)
+    svalid = jnp.zeros((rp,), jnp.int32).at[sflat].set(1)
+    # does this slot START its window (vs continue it from the previous
+    # block)? only a slot's first ROI can carry newg=1 -> max() aggregates
+    sfirst = jnp.zeros((rp,), jnp.int32).at[sflat].max(newg)
+    wid_roi = (jnp.cumsum(newg) - 1).astype(jnp.int32)  # global window id
+    swid = jnp.zeros((rp,), jnp.int32).at[sflat].set(wid_roi)
+    smask = (slot[:, None] == jnp.arange(BLOCK)[None, :]).astype(jnp.float32)
+
+    # per-window scalar tables (+2 so [w+1] reads stay in bounds)
+    warr = lambda v: jnp.zeros((rp + 2,), jnp.int32).at[wid_roi].set(v)
+    return dict(
+        perm=perm, inv=inv,
+        roww=roww_s, colw=colw_s, smask=smask,
+        svalid=svalid, sfirst=sfirst, swid=swid, slot=slot,
+        rnew=newg, rwid=wid_roi,  # per-ROI window-start / window-id
+        perm_pad=jnp.pad(perm, (0, pad)),
+        lvl=lvl_s, b=b_s, y0=y0_s, x0=x0_s,  # per-ROI (scatter backend)
+        wlvl=warr(lvl_s), wb=warr(b_s), wy0=warr(y0_s), wx0=warr(x0_s),
+        wvalid=jnp.zeros((rp + 2,), jnp.int32).at[wid_roi].set(1),
+        nwm1=wid_roi[-1:],
+    )
+
+
+def _issue_window(w, wlvl_ref, wb_ref, wy0_ref, wx0_ref, wvalid_ref,
+                  level_refs, patch_refs, sems, num_levels, split_k=False):
+    """Start (no wait) the DMA of window w into patch buffer w % 2. Under
+    split_k the window lands TWICE, stacked along rows, so a hi+lo
+    split-bf16 weight matrix can contract both copies in one MXU pass
+    (K <= 128 is free: matmul cycles scale with M x N-tiles only)."""
+    for par in (0, 1):
+        for lev in range(num_levels):
+            @pl.when((wvalid_ref[w] == 1) & (w % 2 == par)
+                     & (wlvl_ref[w] == lev))
+            def _():
+                src = level_refs[lev].at[
+                    wb_ref[w],
+                    pl.ds(wy0_ref[w], PATCH_Y),
+                    pl.ds(pl.multiple_of(wx0_ref[w], 8), PATCH_W),
+                    :,
+                ]
+                del src
+                dst = patch_refs[par]
+                ch = PATCH_Y // _DMA_SPLIT
+                for j in range(_DMA_SPLIT):
+                    sub = level_refs[lev].at[
+                        wb_ref[w],
+                        pl.ds(wy0_ref[w] + j * ch, ch),
+                        pl.ds(pl.multiple_of(wx0_ref[w], 8), PATCH_W),
+                        :,
+                    ]
+                    pltpu.make_async_copy(
+                        sub, dst.at[pl.ds(j * ch, ch)], sems[par]
+                    ).start()
+                    if split_k:
+                        pltpu.make_async_copy(
+                            sub, dst.at[pl.ds(PATCH_Y + j * ch, ch)],
+                            sems[par],
+                        ).start()
+
+
+def _wait_window(w, level_refs, patch_refs, sems, split_k=False):
+    """Block until the DMA(s) of window w (buffer w % 2) have landed. The
+    wait descriptor only encodes the byte count, which is
+    window-shape-constant, so a fixed dummy source region is fine."""
+    for par in (0, 1):
+        @pl.when(w % 2 == par)
+        def _():
+            dummy = level_refs[0].at[0, pl.ds(0, PATCH_Y), pl.ds(0, PATCH_W), :]
+            pltpu.make_async_copy(
+                dummy, patch_refs[par].at[pl.ds(0, PATCH_Y)], sems[par]
+            ).wait()
+            if split_k:
+                pltpu.make_async_copy(
+                    dummy, patch_refs[par].at[pl.ds(PATCH_Y, PATCH_Y)],
+                    sems[par],
+                ).wait()
+
+
+def _masked_stack(w_ref, roww_ref, smask_ref, s, block, p):
+    """w_ref[k*p:(k+1)*p] = roww_ref[k] * (ROI k is in slot s)."""
+    for k in range(block):
+        w_ref[k * p:(k + 1) * p, :] = roww_ref[k] * smask_ref[k, s]
+
+
+def _kernel(rnew_ref, rwid_ref, wlvl_ref, wb_ref, wy0_ref, wx0_ref,
+            wvalid_ref, roww_ref, colw_ref, *rest,
+            num_levels, p, c, block, out_dtype, split_k):
+    """Forward: BLOCK window-sorted ROIs per program. Stage 1 is per-ROI —
+    MXU matmul cycles scale with M x N-tiles (K <= 128 is free), so an
+    [P, K] x [K, PATCH_W*C] matmul is already optimal at M=P and the hi+lo
+    split-f32 correction stacks along K at zero extra cost (the window is
+    DMA'd twice, row-stacked, and roww carries [hi | lo] bf16). Window DMAs
+    are double-buffered across the sequential grid: whichever ROI starts
+    window w immediately issues w+1 into the other buffer."""
+    level_refs = rest[:num_levels]
+    out_ref = rest[num_levels]
+    patch0, patch1, sem0, sem1 = rest[num_levels + 1:]
+    patch_refs = (patch0, patch1)
+    sems = (sem0, sem1)
+    i = pl.program_id(0)
+    ky = 2 * PATCH_Y if split_k else PATCH_Y
+
+    issue = functools.partial(
+        _issue_window, wlvl_ref=wlvl_ref, wb_ref=wb_ref, wy0_ref=wy0_ref,
+        wx0_ref=wx0_ref, wvalid_ref=wvalid_ref, level_refs=level_refs,
+        patch_refs=patch_refs, sems=sems, num_levels=num_levels,
+        split_k=split_k,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        issue(jnp.int32(0))
+
+    for k in range(block):
+        g = i * block + k
+        w = rwid_ref[g]
+
+        @pl.when(rnew_ref[g] == 1)
+        def _():
+            # window starts here: its DMA was issued by the previous
+            # window's starter (or the i==0 bootstrap); pipeline w+1
+            _wait_window(w, level_refs, patch_refs, sems, split_k)
+            issue(w + 1)
+
+        roww = roww_ref[k]  # [P, ky] bf16 [hi|lo] (or f32 when not split)
+        colw = colw_ref[k]  # [P, PATCH_W] f32
+        for par in (0, 1):
+            @pl.when(w % 2 == par)
+            def _(par=par):
+                patch = patch_refs[par][:, :, :].reshape(ky, PATCH_W * c)
+                a = jnp.dot(
+                    roww, patch, preferred_element_type=jnp.float32
+                ).reshape(p, PATCH_W, c)
+                # stage 2: column contraction as p small MXU matmuls
+                for pi in range(p):
+                    out_ref[k, pi] = jnp.dot(
+                        colw, a[pi], preferred_element_type=jnp.float32
+                    ).astype(out_dtype)
 
 
 def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
@@ -234,74 +376,300 @@ def multilevel_roi_align_pallas(features, boxes, batch_idx, pcfg,
     )
     p = ph
     c = features[0].shape[-1]
-    r = boxes.shape[0]
     num_levels = len(features)
 
     # pad small levels so a window always fits
     feats = []
     for f in features:
-        ph, pw = _padded_hw(f.shape[1], f.shape[2])
-        hpad = ph - f.shape[1]
-        wpad = pw - f.shape[2]
+        fh, fw = _padded_hw(f.shape[1], f.shape[2])
+        hpad = fh - f.shape[1]
+        wpad = fw - f.shape[2]
         if hpad or wpad:
             f = jnp.pad(f, ((0, 0), (0, hpad), (0, wpad), (0, 0)))
         feats.append(f.astype(compute_dtype))
 
-    perm, newg, lvl, bidx, y0, x0, roww, colw = _precompute(
-        features, boxes, batch_idx, pcfg
+    pc = _precompute(features, boxes, batch_idx, pcfg)
+    rp = pc["svalid"].shape[0]
+    split_k = (compute_dtype != jnp.float32) and _SPLIT_K
+    if split_k:
+        # [hi | lo] bf16 along K; contracted against the row-stacked double
+        # copy of the window, this recovers f32 weight precision in ONE
+        # MXU pass
+        hi = pc["roww"].astype(jnp.bfloat16)
+        lo = (pc["roww"] - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        roww = jnp.concatenate([hi, lo], axis=-1)  # [rp, p, 2*PATCH_Y]
+        ky = 2 * PATCH_Y
+    elif compute_dtype != jnp.float32:
+        roww = pc["roww"].astype(jnp.bfloat16)
+        ky = PATCH_Y
+    else:
+        roww = pc["roww"]
+        ky = PATCH_Y
+    kernel = functools.partial(
+        _kernel, num_levels=num_levels, p=p, c=c, block=BLOCK,
+        out_dtype=compute_dtype, split_k=split_k,
     )
-    kernel = functools.partial(_kernel, num_levels=num_levels, p=p, c=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(r,),
+        num_scalar_prefetch=7,
+        grid=(rp // BLOCK,),
         in_specs=[
-            pl.BlockSpec((1, p, PATCH_Y), lambda i, perm, *_: (perm[i], 0, 0),
+            pl.BlockSpec((BLOCK, p, ky), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, PATCH_W), lambda i, perm, *_: (perm[i], 0, 0),
+            pl.BlockSpec((BLOCK, p, PATCH_W), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in feats],
-        out_specs=pl.BlockSpec((1, p, p, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in feats],
+        out_specs=pl.BlockSpec((BLOCK, p, p, c), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((PATCH_Y, PATCH_W, c), compute_dtype),
+            pltpu.VMEM((ky, PATCH_W, c), compute_dtype),
+            pltpu.VMEM((ky, PATCH_W, c), compute_dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rp, p, p, c), compute_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(perm, newg, lvl, bidx, y0, x0, roww, colw, *feats)
-    return out.astype(compute_dtype)
+    )(pc["rnew"], pc["rwid"], pc["wlvl"], pc["wb"], pc["wy0"], pc["wx0"],
+      pc["wvalid"], roww, pc["colw"], *feats)
+    # back to original ROI order (drops the BLOCK padding tail: inv < r)
+    return jnp.take(out, pc["inv"], axis=0)
 
 
 # -- backward (training): window-merged scatter-accumulate ----------------------
 
 
-def _bwd_kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
-                roww_ref, colw_ref, dout_ref, *rest, num_levels, p, c, r_total):
-    """Accumulate each window group's dPatch sum in VMEM, then ONE RMW round
-    trip per unique window into the per-level gradient buffers. Both weight
-    contractions (column-unmix and row-unmix) happen in-kernel as MXU dots
-    from the tiny [P, P, C] cotangent block — materializing the unmixed
-    [R, P, PATCH_W, C] tensor in HBM (1.6 GB at R=4096) costs more than the
-    matmuls. The TPU grid is sequential, so overlapping windows accumulate
-    without races."""
+def _window_rmw_add(grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+                    lvl, b, y0, x0, par, first, last):
+    """grad[lvl][b, y0:y0+PATCH_Y, x0:x0+PATCH_W, :] += acc, write-pipelined.
+
+    The read->add->write chain is the latency wall of the backward (window
+    regions overlap, so reads must observe preceding writes). The WRITE's
+    completion, however, only gates the NEXT flush's read — so each flush
+    (a) first waits for the previous flush's write (skipped on the first),
+    (b) reads + adds + STARTS its own write without waiting, ping-ponging
+    between two staging buffers so the in-flight write's source stays
+    intact. The write latency then hides behind the dpatch matmuls between
+    flushes. Safe on the sequential TPU grid (no concurrent programs)."""
+    ch = PATCH_Y // _DMA_SPLIT
+
+    def region(k, j):
+        return grad_refs[k].at[
+            b, pl.ds(y0 + j * ch, ch), pl.ds(x0, PATCH_W), :]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        # previous flush's write: same byte count for every window, so a
+        # dummy same-shape descriptor pairs with whatever was started
+        for j in range(_DMA_SPLIT):
+            pltpu.make_async_copy(
+                tmp_refs[0].at[pl.ds(j * ch, ch)],
+                grad_refs[0].at[0, pl.ds(j * ch, ch), pl.ds(0, PATCH_W), :],
+                sem_w,
+            ).wait()
+
+    for pv in (0, 1):
+        @pl.when(par == pv)
+        def _(pv=pv):
+            tmp_ref = tmp_refs[pv]
+            for k in range(num_levels):
+                @pl.when(lvl == k)
+                def _(k=k):
+                    cps = [
+                        pltpu.make_async_copy(
+                            region(k, j), tmp_ref.at[pl.ds(j * ch, ch)],
+                            sem_r)
+                        for j in range(_DMA_SPLIT)
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    tmp_ref[:, :, :] = (
+                        tmp_ref[:, :, :]
+                        + acc_ref[:, :, :].astype(tmp_ref.dtype)
+                    )
+                    for j in range(_DMA_SPLIT):
+                        pltpu.make_async_copy(
+                            tmp_ref.at[pl.ds(j * ch, ch)], region(k, j),
+                            sem_w,
+                        ).start()
+
+    @pl.when(last)
+    def _():
+        for j in range(_DMA_SPLIT):
+            pltpu.make_async_copy(
+                tmp_refs[0].at[pl.ds(j * ch, ch)],
+                grad_refs[0].at[0, pl.ds(j * ch, ch), pl.ds(0, PATCH_W), :],
+                sem_w,
+            ).wait()
+
+
+def _bwd_kernel(svalid_ref, sfirst_ref, swid_ref, slot_ref, wlvl_ref, wb_ref,
+                wy0_ref, wx0_ref, wvalid_ref, nwm1_ref,
+                roww_ref, colw_ref, smask_ref, dout_ref, *rest,
+                num_levels, p, c, block, nblocks, mm_dtype):
+    """dPatch_w = sum_{r in w} RowW_r^T @ (dOut_r @ ColW_r), accumulated per
+    window in VMEM (the per-block partial sum rides the stacked matmul's
+    contraction), then ONE RMW round trip per unique window into the
+    per-level gradient buffers. Never reads the feature windows."""
+    del slot_ref
     zin_refs = rest[:num_levels]              # aliased zero-init inputs
     grad_refs = rest[num_levels:2 * num_levels]  # outputs (aliased)
-    t_ref, acc_ref, tmp_ref, sem = rest[2 * num_levels:]
+    w_ref, t_ref, acc_ref, tmp0, tmp1, sem_r, sem_w = rest[2 * num_levels:]
+    tmp_refs = (tmp0, tmp1)
     del zin_refs  # same memory as grad_refs via input_output_aliases
 
     i = pl.program_id(0)
-    j = perm_ref[i]
+    m = block * p
 
-    roww = roww_ref[0]  # [P, PATCH_Y]
-    colw_t = colw_ref[0].T  # [PATCH_W, P]
-    dout = dout_ref[0].astype(jnp.float32)  # [P, P, C]
+    # column-unmix every ROI of the block into the stacked cotangent
+    # T[(k, pi), x, ch] = sum_q colw[k, q, x] dout[k, pi, q, ch]
+    for k in range(block):
+        colw_t = colw_ref[k].T.astype(mm_dtype)  # [PATCH_W, P]
+        dout_k = dout_ref[k].astype(mm_dtype)  # [P, P, C]
+        for pi in range(p):
+            t_ref[k * p + pi] = jnp.dot(
+                colw_t, dout_k[pi], preferred_element_type=jnp.float32
+            ).astype(mm_dtype)
+
+    for s in range(block):
+        sf = i * block + s
+
+        @pl.when(svalid_ref[sf] == 1)
+        def _(s=s, sf=sf):
+            w = swid_ref[sf]
+            # row-unmix + sum over the slot's ROIs in ONE contraction:
+            # dPatch = (masked stacked RowW)^T [m, PATCH_Y] x T [m, PW*C]
+            _masked_stack(w_ref, roww_ref, smask_ref, s, block, p)
+            dpatch = jax.lax.dot_general(
+                w_ref[:, :].astype(mm_dtype),
+                t_ref[:, :, :].reshape(m, PATCH_W * c),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(PATCH_Y, PATCH_W, c)
+
+            @pl.when((sfirst_ref[sf] == 1) & (w > 0))
+            def _():
+                # new window starts: flush the finished previous window
+                wp = w - 1
+                _window_rmw_add(
+                    grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+                    wlvl_ref[wp], wb_ref[wp], wy0_ref[wp],
+                    pl.multiple_of(wx0_ref[wp], 8),
+                    par=wp % 2, first=(wp == 0), last=(wp < 0),
+                )
+
+            @pl.when(sfirst_ref[sf] == 1)
+            def _():
+                acc_ref[:, :, :] = dpatch
+
+            @pl.when(sfirst_ref[sf] == 0)
+            def _():
+                acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
+
+    # last program flushes the final window (and drains its own write)
+    @pl.when(i == nblocks - 1)
+    def _():
+        wl = nwm1_ref[0]
+        _window_rmw_add(
+            grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+            wlvl_ref[wl], wb_ref[wl], wy0_ref[wl],
+            pl.multiple_of(wx0_ref[wl], 8),
+            par=wl % 2, first=(wl == 0), last=(wl >= 0),
+        )
+
+
+def _roi_align_bwd(pcfg, p, num_levels, shapes, pc, dout, interpret=False,
+                   mm_dtype=jnp.float32):
+    c = shapes[0][-1]
+    rp = pc["svalid"].shape[0]
+    m = BLOCK * p
+    # cotangents into window-sorted order, zero-padded to the BLOCK multiple
+    dout_s = jnp.take(dout, pc["perm"], axis=0)
+    if rp != dout_s.shape[0]:
+        dout_s = jnp.pad(
+            dout_s, [(0, rp - dout_s.shape[0])] + [(0, 0)] * (dout.ndim - 1)
+        )
+    # gradient buffers accumulate in the compute dtype (bf16 halves the
+    # latency-bound RMW window traffic; the f32 path keeps exactness for
+    # the parity suite)
+    zeros = [jnp.zeros(s, mm_dtype) for s in shapes]
+
+    kernel = functools.partial(
+        _bwd_kernel, num_levels=num_levels, p=p, c=c, block=BLOCK,
+        nblocks=rp // BLOCK, mm_dtype=mm_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=_NSCALAR,
+        grid=(rp // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, p, PATCH_Y), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, p, PATCH_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, BLOCK), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in shapes
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, PATCH_Y), jnp.float32),
+            pltpu.VMEM((m, PATCH_W, c), mm_dtype),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(s, mm_dtype) for s in shapes),
+        input_output_aliases={
+            _NSCALAR + 4 + i: i for i in range(num_levels)
+        },
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(pc["svalid"], pc["sfirst"], pc["swid"], pc["slot"], pc["wlvl"],
+      pc["wb"], pc["wy0"], pc["wx0"], pc["wvalid"], pc["nwm1"],
+      pc["roww"], pc["colw"], pc["smask"], dout_s, *zeros)
+    return grads
+
+
+def _roi_bwd_kernel(perm_ref, rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref,
+                    x0_ref, nwm1_ref, roww_ref, colw_ref, dout_ref, *rest,
+                    num_levels, p, c, r_total, mm_dtype):
+    """Per-ROI backward (one grid program per sorted ROI): both weight
+    contractions as MXU dots from the tiny [P, P, C] cotangent block, group
+    dPatch accumulated in VMEM, one pipelined RMW per unique window."""
+    zin_refs = rest[:num_levels]              # aliased zero-init inputs
+    grad_refs = rest[num_levels:2 * num_levels]  # outputs (aliased)
+    t_ref, acc_ref, tmp0, tmp1, sem_r, sem_w = rest[2 * num_levels:]
+    tmp_refs = (tmp0, tmp1)
+    del zin_refs  # same memory as grad_refs via input_output_aliases
+
+    i = pl.program_id(0)
+
+    roww = roww_ref[0].astype(mm_dtype)  # [P, PATCH_Y]
+    colw_t = colw_ref[0].T.astype(mm_dtype)  # [PATCH_W, P]
+    dout = dout_ref[0].astype(mm_dtype)  # [P, P, C]
     # stage 1 (column-unmix): dA[pi, x, ch] = sum_q colw[q, x] dout[pi, q, ch]
     for pi in range(p):
-        t_ref[pi] = jnp.dot(colw_t, dout[pi], preferred_element_type=jnp.float32)
+        t_ref[pi] = jnp.dot(
+            colw_t, dout[pi], preferred_element_type=jnp.float32
+        ).astype(mm_dtype)
     # stage 2 (row-unmix): dPatch = RowW^T @ dA (contract P; avoids transpose)
     dpatch = jax.lax.dot_general(
         roww, t_ref[:, :, :].reshape(p, PATCH_W * c),
@@ -310,77 +678,88 @@ def _bwd_kernel(perm_ref, newg_ref, lvl_ref, b_ref, y0_ref, x0_ref,
     ).reshape(PATCH_Y, PATCH_W, c)
 
     # group boundary: flush the previous group's accumulated window
-    jp = perm_ref[jnp.maximum(i - 1, 0)]
-
-    @pl.when((i > 0) & (newg_ref[i] == 1))
+    @pl.when((i > 0) & (rnew_ref[i] == 1))
     def _():
+        wp = rwid_ref[i] - 1
         _window_rmw_add(
-            grad_refs, acc_ref, tmp_ref, sem, num_levels,
-            lvl_ref[jp], b_ref[jp], y0_ref[jp], pl.multiple_of(x0_ref[jp], 8),
+            grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+            lvl_ref[i - 1], b_ref[i - 1], y0_ref[i - 1],
+            pl.multiple_of(x0_ref[i - 1], 8),
+            par=wp % 2, first=(wp == 0), last=(wp < 0),
         )
 
-    @pl.when(newg_ref[i] == 1)
+    @pl.when(rnew_ref[i] == 1)
     def _():
         acc_ref[:, :, :] = dpatch
 
-    @pl.when(newg_ref[i] == 0)
+    @pl.when(rnew_ref[i] == 0)
     def _():
         acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
 
-    # last program flushes the final group
+    # last program flushes the final window (and drains its own write)
     @pl.when(i == r_total - 1)
     def _():
+        wl = nwm1_ref[0]
         _window_rmw_add(
-            grad_refs, acc_ref, tmp_ref, sem, num_levels,
-            lvl_ref[j], b_ref[j], y0_ref[j], pl.multiple_of(x0_ref[j], 8),
+            grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+            lvl_ref[i], b_ref[i], y0_ref[i], pl.multiple_of(x0_ref[i], 8),
+            par=wl % 2, first=(wl == 0), last=(wl >= 0),
         )
 
 
-def _roi_align_bwd(pcfg, p, num_levels, shapes, residuals, dout,
-                   interpret=False):
-    perm, newg, lvl, bidx, y0, x0, roww, colw = residuals
+def _roi_align_bwd_roi(pcfg, p, num_levels, shapes, pc, dout,
+                       interpret=False, mm_dtype=jnp.float32):
+    """Per-ROI-grid variant of _roi_align_bwd (bwd_impl="roi")."""
     c = shapes[0][-1]
-    r = dout.shape[0]
-    zeros = [jnp.zeros(s, jnp.float32) for s in shapes]
+    rp = pc["svalid"].shape[0]
+    zeros = [jnp.zeros(s, mm_dtype) for s in shapes]
 
     kernel = functools.partial(
-        _bwd_kernel, num_levels=num_levels, p=p, c=c, r_total=r
+        _roi_bwd_kernel, num_levels=num_levels, p=p, c=c, r_total=rp,
+        mm_dtype=mm_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(r,),
+        num_scalar_prefetch=8,
+        grid=(rp,),
         in_specs=[
-            pl.BlockSpec((1, p, PATCH_Y), lambda i, perm, *_: (perm[i], 0, 0),
+            pl.BlockSpec((1, p, PATCH_Y), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, PATCH_W), lambda i, perm, *_: (perm[i], 0, 0),
+            pl.BlockSpec((1, p, PATCH_W), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            # cotangents stay in original ROI order; the scalar-prefetched
+            # permutation steers the block fetch (no materialized gather)
             pl.BlockSpec((1, p, p, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes],
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in shapes
+            pl.BlockSpec(memory_space=pl.ANY) for _ in shapes
         ),
         scratch_shapes=[
-            pltpu.VMEM((p, PATCH_W, c), jnp.float32),
+            pltpu.VMEM((p, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
-            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes),
+        out_shape=tuple(jax.ShapeDtypeStruct(s, mm_dtype) for s in shapes),
         input_output_aliases={
-            9 + i: i for i in range(num_levels)  # 6 prefetch + 3 vector ins
+            11 + i: i for i in range(num_levels)  # 8 prefetch + 3 vector ins
         },
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(perm, newg, lvl, bidx, y0, x0, roww, colw, dout, *zeros)
+    )(pc["perm_pad"], pc["rnew"], pc["rwid"], pc["lvl"], pc["b"], pc["y0"],
+      pc["x0"], pc["nwm1"], pc["roww"], pc["colw"], dout, *zeros)
     return grads
 
 
-def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
+def _scatter_windows_bwd(shapes, pc, dout, chunk=256):
     """Backward via XLA windowed scatter-add (no Pallas).
 
     Each ROI's feature-gradient is a dense [PATCH_Y, PATCH_W, C] patch
@@ -395,7 +774,14 @@ def _scatter_windows_bwd(shapes, residuals, dout, chunk=256):
     Replaces the atomic-add backward of the reference CUDA kernel
     (csrc/cuda/ROIAlign_cuda.cu:178-257) with a TPU-native formulation.
     """
-    _, _, lvl, bidx, y0, x0, roww, colw = residuals
+    roww, colw = pc["roww"], pc["colw"]
+    rp = roww.shape[0]
+    lvl, bidx, y0, x0 = pc["lvl"], pc["b"], pc["y0"], pc["x0"]
+    dout = jnp.take(dout, pc["perm"], axis=0)
+    if rp != dout.shape[0]:
+        dout = jnp.pad(
+            dout, [(0, rp - dout.shape[0])] + [(0, 0)] * (dout.ndim - 1)
+        )
     num_levels = len(shapes)
     b = shapes[0][0]
     c = shapes[0][-1]
@@ -493,8 +879,10 @@ def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="rmw",
             padded_shapes = tuple(
                 (s[0],) + _padded_hw(s[1], s[2]) + (s[3],) for s in shapes
             )
-            grads = _roi_align_bwd(pcfg, p, len(shapes), padded_shapes, res,
-                                   dout, interpret=interpret)
+            impl = (_roi_align_bwd_roi if bwd_impl == "roi"
+                    else _roi_align_bwd)
+            grads = impl(pcfg, p, len(shapes), padded_shapes, res,
+                         dout, interpret=interpret, mm_dtype=compute_dtype)
             dfeats = tuple(
                 g[:, : s[1], : s[2], :].astype(compute_dtype)
                 for g, s in zip(grads, shapes)

@@ -148,7 +148,7 @@ def main():
         "stem", "layer1", "layer2", "layer3", "layer4", "fpn",
         "backbone", "rpn_head", "rpn_loss", "proposals", "box_targets",
         "box_head", "box_loss", "mask_head", "mask_targets",
-        "keypoint_head", "keypoint_loss",
+        "keypoint_head", "keypoint_loss", "optimizer", "image_prep",
     )
     scopes = defaultdict(float)
     for k, v in agg.items():
