@@ -168,3 +168,121 @@ int64_t nms_cpu(const float* boxes, const float* scores, int64_t n,
 }
 
 }  // extern "C"
+
+// -- fused mask paste + column-major RLE encode ------------------------------
+//
+// Replaces the per-detection Python path (models/masker.py
+// paste_mask_in_image + utils/maskops.py mask_to_rle_counts), which the
+// reference accounts at +0.034 s/im (MODEL_ZOO.md:26) and which dominates
+// end-to-end eval wall time on a small host. One call bilinearly resizes
+// the padded [M, M] probability patch onto its (expanded, integerized) box,
+// thresholds, and emits COCO column-major RLE counts directly — the
+// [im_h, im_w] canvas is never materialized.
+//
+// Semantics mirror reference mask_head/inference.py:119-160: zero pad by
+// `padding`, expand the box by (M+2p)/M about its center, truncate to
+// int64, resize to (bw, bh) with pixel-center bilinear sampling (clamped
+// borders, as cv2 INTER_LINEAR), threshold strictly, clip to the image.
+
+static inline double sample_bilinear(const float* img, int64_t n,
+                                     double sy, double sx) {
+  if (sy < 0) sy = 0;
+  if (sx < 0) sx = 0;
+  if (sy > n - 1) sy = n - 1;
+  if (sx > n - 1) sx = n - 1;
+  int64_t y0 = (int64_t)sy, x0 = (int64_t)sx;
+  int64_t y1 = y0 + 1 < n ? y0 + 1 : y0;
+  int64_t x1 = x0 + 1 < n ? x0 + 1 : x0;
+  double fy = sy - y0, fx = sx - x0;
+  double v00 = img[y0 * n + x0], v01 = img[y0 * n + x1];
+  double v10 = img[y1 * n + x0], v11 = img[y1 * n + x1];
+  return v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+         v10 * fy * (1 - fx) + v11 * fy * fx;
+}
+
+extern "C" int64_t paste_encode_mask(
+    const float* mask, int64_t m, int64_t padding, const double* box_xyxy,
+    double thresh, int64_t im_h, int64_t im_w, int64_t* counts_out) {
+  // padded patch
+  const int64_t n = m + 2 * padding;
+  std::vector<float> padded(n * n, 0.f);
+  for (int64_t y = 0; y < m; ++y)
+    for (int64_t x = 0; x < m; ++x)
+      padded[(y + padding) * n + x + padding] = mask[y * m + x];
+
+  // expand about center by (m+2p)/m, then truncate (numpy int64 cast)
+  const double scale = (double)n / (double)m;
+  double wh = (box_xyxy[2] - box_xyxy[0]) * 0.5 * scale;
+  double hh = (box_xyxy[3] - box_xyxy[1]) * 0.5 * scale;
+  double xc = (box_xyxy[2] + box_xyxy[0]) * 0.5;
+  double yc = (box_xyxy[3] + box_xyxy[1]) * 0.5;
+  const int64_t bx0 = (int64_t)(xc - wh), bx1 = (int64_t)(xc + wh);
+  const int64_t by0 = (int64_t)(yc - hh), by1 = (int64_t)(yc + hh);
+  int64_t bw = bx1 - bx0 + 1;  if (bw < 1) bw = 1;
+  int64_t bh = by1 - by0 + 1;  if (bh < 1) bh = 1;
+
+  // clip to the image
+  int64_t x_0 = bx0 > 0 ? bx0 : 0;
+  int64_t x_1 = bx1 + 1 < im_w ? bx1 + 1 : im_w;
+  int64_t y_0 = by0 > 0 ? by0 : 0;
+  int64_t y_1 = by1 + 1 < im_h ? by1 + 1 : im_h;
+
+  int64_t nc = 0;          // counts written
+  int64_t run = 0;         // current run length
+  int cur = 0;             // current value (counts start at zeros)
+  auto emit = [&](int v, int64_t len) {
+    if (len == 0) return;
+    if (v == cur) { run += len; return; }
+    counts_out[nc++] = run;
+    cur = v;
+    run = len;
+  };
+
+  if (x_1 <= x_0 || y_1 <= y_0) {
+    counts_out[0] = (int64_t)im_h * im_w;
+    return 1;
+  }
+
+  // precomputed pixel-center row tables (y0/y1 indices + fraction) and a
+  // column-factored bilinear: per destination column, interpolate the two
+  // source columns along y once, then mix by fx — ~3 ops/pixel
+  const double sy_scale = (double)n / (double)bh;
+  const double sx_scale = (double)n / (double)bw;
+  const int64_t nrows = y_1 - y_0;
+  std::vector<int64_t> ry0(nrows), ry1(nrows);
+  std::vector<double> rfy(nrows);
+  for (int64_t y = y_0; y < y_1; ++y) {
+    double sy = ((double)(y - by0) + 0.5) * sy_scale - 0.5;
+    if (sy < 0) sy = 0;
+    if (sy > n - 1) sy = n - 1;
+    int64_t i0 = (int64_t)sy;
+    ry0[y - y_0] = i0;
+    ry1[y - y_0] = i0 + 1 < n ? i0 + 1 : i0;
+    rfy[y - y_0] = sy - i0;
+  }
+  std::vector<double> ca(nrows), cb(nrows);
+  const float* P = padded.data();
+
+  emit(0, x_0 * im_h);  // leading all-zero columns
+  for (int64_t x = x_0; x < x_1; ++x) {
+    double sx = ((double)(x - bx0) + 0.5) * sx_scale - 0.5;
+    if (sx < 0) sx = 0;
+    if (sx > n - 1) sx = n - 1;
+    const int64_t cx0 = (int64_t)sx;
+    const int64_t cx1 = cx0 + 1 < n ? cx0 + 1 : cx0;
+    const double fx = sx - cx0;
+    for (int64_t r = 0; r < nrows; ++r) {
+      ca[r] = P[ry0[r] * n + cx0] * (1 - rfy[r]) + P[ry1[r] * n + cx0] * rfy[r];
+      cb[r] = P[ry0[r] * n + cx1] * (1 - rfy[r]) + P[ry1[r] * n + cx1] * rfy[r];
+    }
+    emit(0, y_0);
+    for (int64_t r = 0; r < nrows; ++r) {
+      const double v = ca[r] * (1 - fx) + cb[r] * fx;
+      emit(v > thresh ? 1 : 0, 1);
+    }
+    emit(0, im_h - y_1);
+  }
+  emit(0, (im_w - x_1) * im_h);  // trailing all-zero columns
+  counts_out[nc++] = run;
+  return nc;
+}

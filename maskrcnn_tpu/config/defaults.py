@@ -286,6 +286,13 @@ _C.TPU.MESH_SHAPE = (-1,)
 # ROI pooler backend: "auto" (Pallas patch-DMA kernel on TPU inference,
 # gather elsewhere), "gather", or "pallas".
 _C.TPU.POOLER_BACKEND = "auto"
+# Keypoint-head ROI budget per image, applied as a batch-GLOBAL cap
+# (B * cap) with cross-image compaction: valid person positives from the
+# whole batch are packed together before the 8x512-channel keypoint stack,
+# so images with few people don't pay for the padded per-image quota. The
+# cap only ever SUBSAMPLES when a batch carries more than B*cap person
+# positives (pathological crowding); 0 disables compaction.
+_C.TPU.KEYPOINT_ROI_CAP = 32
 # Normalize images on DEVICE instead of in the host loader: the pipeline
 # stays uint8 end-to-end (the reference is uint8 until after Resize too),
 # making host->device transfer and worker IPC 4x smaller and removing the

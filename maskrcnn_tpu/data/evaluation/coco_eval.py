@@ -43,7 +43,6 @@ def prepare_for_coco_detection(predictions, dataset):
 
 
 def prepare_for_coco_segmentation(predictions, dataset):
-    masker = Masker(threshold=0.5, padding=1)
     results = {}
     for image_id, prediction in enumerate(predictions):
         original_id = dataset.id_to_img_map[image_id]
@@ -53,11 +52,16 @@ def prepare_for_coco_segmentation(predictions, dataset):
         info = dataset.get_img_info(image_id)
         w, h = info["width"], info["height"]
         prediction = prediction.resize((w, h)).convert("xyxy")
-        masks = prediction.get_field("mask")
-        pasted = masker(masks, prediction)
+        masks = np.asarray(prediction.get_field("mask"))
+        boxes = np.asarray(prediction.bbox)
         scores = prediction.get_field("scores").tolist()
         labels = prediction.get_field("labels").tolist()
-        rles = [maskops.encode_mask(m) for m in pasted]
+        # fused native paste+RLE per detection (Masker semantics; the
+        # [h, w] canvas never exists in Python) — see utils/maskops.py
+        rles = [
+            maskops.paste_encode_mask(masks[k], boxes[k], h, w)
+            for k in range(len(boxes))
+        ]
         mapped = [dataset.contiguous_category_id_to_json_id[int(i)] for i in labels]
         results[original_id] = [
             {

@@ -385,25 +385,42 @@ class GeneralizedRCNN:
                 )
 
         if self.keypoint_on:
+            gt_kps = batch["gt_keypoints"].astype(jnp.float32)
+            matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)
+            kshape = matched_kps.shape
+            kp_rois, kp_batch = pos_flat, pos_batch
+            kp_valid = pos_valid.reshape(-1)
+            kp_targets = matched_kps.reshape(-1, kshape[2], 3)
+            # cross-image compaction: typical keypoint batches carry far
+            # fewer person positives than the B*128 padded quota, and the
+            # 8x512-channel head is the step's FLOP bulk — pack the valid
+            # positives from the whole batch into a B*cap ROI budget
+            # (TPU.KEYPOINT_ROI_CAP; only subsamples under pathological
+            # crowding). Reference keeps the full per-image quota
+            # (roi_heads/keypoint_head/loss.py:98-117) at dynamic shapes.
+            cap = cfg.TPU.KEYPOINT_ROI_CAP * images.shape[0]
+            if 0 < cap < kp_rois.shape[0]:
+                from ..ops.sampler import top_k_fast
+
+                _, sel = top_k_fast(kp_valid.astype(jnp.float32), cap)
+                sel = jnp.sort(sel)  # keep sorted-ROI locality for pooling
+                kp_rois = kp_rois[sel]
+                kp_batch = kp_batch[sel]
+                kp_valid = kp_valid[sel]
+                kp_targets = kp_targets[sel]
             with jax.named_scope("keypoint_head"):
                 kp_logits = kh.run_keypoint_head(
                     params["roi_heads"]["keypoint"],
                     features[: len(self.kp_pooler.scales)],
-                    pos_flat, pos_batch, self.kp_pooler, cfg,
+                    kp_rois, kp_batch, self.kp_pooler, cfg,
                     self.compute_dtype,
                     pooler_backend=self._infer_pooler_backend(
                         len(self.kp_pooler.scales), is_train=True
                     ),
                 )
             with jax.named_scope("keypoint_loss"):
-                gt_kps = batch["gt_keypoints"].astype(jnp.float32)
-                matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)
-                kshape = matched_kps.shape
                 losses["loss_kp"] = kh.keypoint_head_loss(
-                    kp_logits,
-                    matched_kps.reshape(-1, kshape[2], 3),
-                    pos_flat,
-                    pos_valid.reshape(-1),
+                    kp_logits, kp_targets, kp_rois, kp_valid
                 )
         return losses
 

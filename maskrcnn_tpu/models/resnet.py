@@ -189,6 +189,10 @@ def _stem_conv_s2d(x, p, compute_dtype):
         .reshape(4, 4, 4 * cin, cout)
     )
     b, h, w, _ = x.shape
+    # cast FIRST: the pad/reshape/transpose relayouts below are pure copies
+    # of the full image batch (~100 MB each at f32, the stem's real cost on
+    # the profile) and run at half the HBM traffic in bf16
+    x = x.astype(compute_dtype)
     # out[p] needs x[2p-3 .. 2p+3]; with a 4-pixel top/left pad the block
     # conv's valid window covers exactly those taps
     xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
@@ -199,7 +203,7 @@ def _stem_conv_s2d(x, p, compute_dtype):
         .reshape(b, hp // 2, wpix // 2, 4 * cin)
     )
     out = lax.conv_general_dilated(
-        x2.astype(compute_dtype),
+        x2,
         w8.astype(compute_dtype),
         window_strides=(1, 1),
         padding="VALID",

@@ -13,6 +13,7 @@ batched bilinear upsample + argmax that handles full batches.
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..layers import conv2d, init_conv, relu
 from ..poolers import multilevel_roi_align
@@ -45,14 +46,40 @@ def init_keypoint_predictor(key, cfg, in_channels):
     return {"kps_score_lowres": {"w": w.astype(jnp.float32), "b": jnp.zeros((num_kp,))}}
 
 
+def _upsample2x_bilinear(x):
+    """Exact 2x bilinear upsample, align_corners=False (the reference's
+    F.interpolate(scale_factor=2), keypoint_head.py predictor): with
+    src = (dst + 0.5) / 2 - 0.5, even outputs mix (prev, cur) at (1/4, 3/4)
+    and odd outputs (cur, next) at (3/4, 1/4), edges clamped. Written as
+    shift-adds (VPU elementwise in the compute dtype) instead of
+    jax.image.resize, whose gather lowering is several times slower on the
+    lane-padded [R, H, W, 17] layout."""
+
+    def axis_up(v, axis):
+        prev = jnp.concatenate(
+            [lax.slice_in_dim(v, 0, 1, axis=axis),
+             lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)], axis=axis
+        )
+        nxt = jnp.concatenate(
+            [lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
+             lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)],
+            axis=axis,
+        )
+        even = 0.25 * prev + 0.75 * v
+        odd = 0.75 * v + 0.25 * nxt
+        inter = jnp.stack([even, odd], axis=axis + 1)
+        shape = list(v.shape)
+        shape[axis] *= 2
+        return inter.reshape(shape)
+
+    return axis_up(axis_up(x, 1), 2)
+
+
 def apply_keypoint_predictor(params, x, compute_dtype=jnp.bfloat16):
     from ..layers import conv_transpose2d
 
     x = conv_transpose2d(x, params["kps_score_lowres"], stride=2, compute_dtype=compute_dtype)
-    # bilinear x2 upsample, align_corners=False
-    b, h, w, c = x.shape
-    x = jax.image.resize(x.astype(jnp.float32), (b, h * 2, w * 2, c), "bilinear")
-    return x  # [R, 56, 56, K] logits
+    return _upsample2x_bilinear(x)  # [R, 56, 56, K] logits
 
 
 def init_keypoint_head(key, cfg, in_channels):
@@ -105,13 +132,17 @@ def keypoint_head_loss(kp_logits, keypoints, rois, roi_valid):
     r, h, _, k = kp_logits.shape
     targets, valid = keypoints_to_heatmap(keypoints, rois, h)
     valid = valid & roi_valid[:, None]
-    logits = kp_logits.transpose(0, 3, 1, 2).reshape(r * k, h * h)
-    t = targets.reshape(r * k)
-    v = valid.reshape(r * k)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, t[:, None], axis=1)[:, 0]
-    denom = jnp.maximum(jnp.sum(v), 1)
-    return jnp.sum(nll * v) / denom
+    # spatial log-softmax WITHOUT transposing K inward: reduce over the two
+    # spatial axes in place (the [R, H, H, K] -> [R, K, H*H] relayout was a
+    # 200 MB copy per step), then one tiny gather per (roi, keypoint)
+    logits = kp_logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits.reshape(r, h * h, k), axis=1)  # [R, K]
+    picked = jnp.take_along_axis(
+        logits.reshape(r, h * h, k), targets[:, None, :], axis=1
+    )[:, 0, :]  # [R, K]
+    nll = lse - picked
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll * valid) / denom
 
 
 def keypoints_within_box_filter(keypoints, gt_boxes):

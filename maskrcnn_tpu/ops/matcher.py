@@ -49,7 +49,7 @@ def match_anchors_streaming(
     gt_valid,  # [G] bool
     high_threshold,
     low_threshold,
-    chunk=16384,
+    chunk=4096,
 ):
     """match_proposals(box_iou(gt, anchors), ..., allow_low_quality=True)
     without ever materializing the [G, N] IoU table.

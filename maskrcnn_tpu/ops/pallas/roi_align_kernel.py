@@ -69,9 +69,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH = 48    # exactly-covered ROI extent (cells)
-PATCH_Y = 56  # DMA window rows: 8-quantized y origin + 48-cell extent
-PATCH_W = 56  # DMA window cols: 8-aligned x origin + 48-cell extent
+PATCH = 40    # exactly-covered ROI extent (cells): FPN assignment clamps
+              # extents to <= ceil(1333/32)=42 cells only for boxes longer
+              # than ~1280 px on the longest 1333-px images; everything
+              # else fits exactly and the window traffic (DMA, RMW, VMEM)
+              # shrinks 27% vs the previous 48-cell patch
+PATCH_Y = 48  # DMA window rows: 8-quantized y origin + 40-cell extent
+PATCH_W = 48  # DMA window cols: 8-aligned x origin + 40-cell extent
 BLOCK = 8     # ROIs per grid program (see module docstring: slot batching)
 _DMA_SPLIT = 4  # row-chunks per window copy (parallel DMAs hide the
                 # per-row descriptor latency of the strided HBM region)

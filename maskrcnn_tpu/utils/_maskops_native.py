@@ -26,6 +26,7 @@ _lib = ctypes.CDLL(_SO)
 _lib.polygons_to_mask.restype = None
 _lib.run_intersection.restype = ctypes.c_int64
 _lib.nms_cpu.restype = ctypes.c_int64
+_lib.paste_encode_mask.restype = ctypes.c_int64
 
 
 def polygons_to_mask(polygons, height, width):
@@ -72,3 +73,24 @@ def nms(boxes, scores, iou_threshold):
         keep.ctypes.data_as(ctypes.c_void_p),
     )
     return keep[:k]
+
+
+def paste_encode_mask(mask, box, im_h, im_w, thresh=0.5, padding=1):
+    """Fused paste_mask_in_image + column-major RLE (native). Returns the
+    int64 counts array (caller wraps into the COCO RLE dict)."""
+    mask = np.ascontiguousarray(mask, np.float32)
+    box = np.ascontiguousarray(box, np.float64)
+    m = mask.shape[-1]
+    assert mask.shape == (m, m) and box.shape == (4,)
+    counts = np.empty(int(im_h) * int(im_w) + 2, np.int64)
+    nc = _lib.paste_encode_mask(
+        mask.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+        ctypes.c_int64(int(padding)),
+        box.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(float(thresh)),
+        ctypes.c_int64(int(im_h)),
+        ctypes.c_int64(int(im_w)),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return counts[:nc]

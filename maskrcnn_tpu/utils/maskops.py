@@ -223,11 +223,36 @@ def polygons_to_rle(polygons, height, width):
     return encode_mask(polygons_to_mask(polygons, height, width))
 
 
+def paste_encode_mask(mask, box, im_h, im_w, thresh=0.5, padding=1):
+    """Fused Masker paste + RLE encode for ONE detection: [M, M] float
+    probabilities + xyxy box -> COCO RLE dict, without materializing the
+    [im_h, im_w] canvas (reference accounts the per-image paste cost at
+    +0.034 s/im, MODEL_ZOO.md:26). Python fallback composes the existing
+    pieces; the native override runs the whole thing in one C++ pass.
+    """
+    from ..models.masker import paste_mask_in_image
+
+    full = paste_mask_in_image(
+        np.asarray(mask, np.float32), np.asarray(box, np.float64),
+        int(im_h), int(im_w), thresh=thresh, padding=padding,
+    )
+    return encode_mask(full)
+
+
 # Optional native override -------------------------------------------------------
 try:  # pragma: no cover - exercised only when the C++ extension is built
     from . import _maskops_native  # noqa: F401
 
     polygons_to_mask = _maskops_native.polygons_to_mask  # noqa: F811
     _run_intersection = _maskops_native.run_intersection  # noqa: F811
+
+    def paste_encode_mask(mask, box, im_h, im_w, thresh=0.5, padding=1):  # noqa: F811
+        counts = _maskops_native.paste_encode_mask(
+            mask, box, im_h, im_w, thresh=thresh, padding=padding
+        )
+        return {
+            "size": [int(im_h), int(im_w)],
+            "counts": rle_counts_to_string(counts),
+        }
 except ImportError:
     pass

@@ -115,6 +115,42 @@ def main():
         merged.update(part)
     assert set(merged) == set(range(11))
 
+    # --- real data loader under distribution: SHM worker processes +
+    # uneven shards (7 images across `world` ranks) ---
+    from synthetic_coco import make_synthetic_coco
+
+    data_dir = os.path.join(outdir, "data")
+    if comm.is_main_process():
+        make_synthetic_coco(data_dir, num_images=7, num_classes=2)
+    comm.synchronize()
+    from maskrcnn_tpu.config import cfg as cfg_root
+    from maskrcnn_tpu.config.paths_catalog import DatasetCatalog
+    from maskrcnn_tpu.data.build import make_data_loader
+
+    lc = cfg_root.clone()
+    lc.DATASETS.TRAIN = ("coco_2017_train",)
+    lc.SOLVER.IMS_PER_BATCH = world
+    lc.SOLVER.MAX_ITER = 2
+    lc.DATALOADER.NUM_WORKERS = 1
+    lc.INPUT.MIN_SIZE_TRAIN = (64,)
+    lc.INPUT.MAX_SIZE_TRAIN = 96
+    lc.TPU.MAX_GT_BOXES = 8
+    old_dir = DatasetCatalog.DATA_DIR
+    DatasetCatalog.DATA_DIR = data_dir
+    DatasetCatalog._COCO_SETS = dict(
+        DatasetCatalog._COCO_SETS,
+        coco_2017_train=("images", "instances.json"),
+    )
+    lc.freeze()
+    loader = make_data_loader(lc, is_train=True, is_distributed=True)
+    it = iter(loader)
+    lb = next(it)
+    assert lb["images"].shape[0] == 1  # world imgs / world ranks
+    assert lb["images"].dtype.kind in "uf"
+    comm.synchronize()
+    del it, loader
+    DatasetCatalog.DATA_DIR = old_dir
+
     # --- rank-0-only checkpoint write ---
     from maskrcnn_tpu.utils.checkpoint import Checkpointer
 

@@ -25,29 +25,32 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(900)
-def test_two_process_distributed(tmp_path):
+@pytest.mark.timeout(1500)
+@pytest.mark.parametrize("world", [2, 4])
+def test_multi_process_distributed(tmp_path, world):
     here = os.path.dirname(__file__)
     worker = os.path.join(here, "distributed_worker.py")
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_PLATFORMS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # hermetic CPU subprocesses
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.join(here, ".."), here, env.get("PYTHONPATH", "")]
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(rank), "2", str(port), str(tmp_path)],
+            [sys.executable, worker, str(rank), str(world), str(port),
+             str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for rank in range(2)
+        for rank in range(world)
     ]
     outs = []
     for rank, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=840)
+            out, _ = p.communicate(timeout=1440)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -62,6 +62,7 @@ def _run(tmp_path, expected):
         "TEST.EXPECTED_RESULTS", repr(expected),
     ]
     env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # hermetic CPU subprocess
     env["PYTHONPATH"] = os.pathsep.join([REPO, env.get("PYTHONPATH", "")])
     return subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=1200

@@ -14,6 +14,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 from maskrcnn_tpu.config import cfg
 from maskrcnn_tpu.models import build_detection_model
 
@@ -188,3 +190,27 @@ def test_multichip_2d_mesh_hybrid_tp():
     # updated params keep the tensor-parallel layout
     new_fc = new_params["roi_heads"]["box"]["feature_extractor"]["fc6"]["w"]
     assert "model" in tuple(p for p in new_fc.sharding.spec if p)
+
+
+@pytest.mark.heavy
+def test_multichip_dryrun_fullsize():
+    """Flagship-shaped (800x1344, production top-k caps) training step
+    compiled and executed over an 8-device mesh — validates that the real
+    program's shardings (pooler window DMA indices, streaming matcher scan,
+    NMS grids) survive batch-dim partitioning, which tiny shapes cannot."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8, full_size=True)"],
+        cwd=REPO,
+        env={k: v for k, v in dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        ).items() if k != "PALLAS_AXON_POOL_IPS"},
+        capture_output=True, text=True, timeout=3000,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "full-size) OK on 8 devices" in r.stdout, r.stdout[-2000:]

@@ -67,3 +67,26 @@ def test_native_nms_matches_numpy():
         np.sort(native.nms(boxes, scores, 0.5)),
         np.sort(nms_numpy(boxes, scores, 0.5)),
     )
+
+
+def test_paste_encode_mask_matches_python_path():
+    """Fused native paste+RLE == cv2-based paste_mask_in_image + encode_mask
+    pixel-for-pixel, including boxes hanging off every image edge and
+    degenerate sub-pixel boxes."""
+    from maskrcnn_tpu.models.masker import paste_mask_in_image
+    from maskrcnn_tpu.utils import maskops
+
+    rs = np.random.RandomState(0)
+    cases = []
+    for _ in range(25):
+        h, w = rs.randint(30, 200), rs.randint(30, 200)
+        box = np.sort(rs.uniform(-20, max(h, w) + 20, (2, 2)), axis=0)
+        cases.append((h, w, np.array([box[0, 0], box[0, 1], box[1, 0], box[1, 1]])))
+    cases.append((50, 60, np.array([10.2, 10.7, 10.9, 11.1])))  # sub-pixel
+    cases.append((50, 60, np.array([-30.0, -30.0, -5.0, -5.0])))  # fully out
+    for h, w, box in cases:
+        m = rs.rand(28, 28).astype(np.float32)
+        ref = paste_mask_in_image(m, box, h, w)
+        rle = maskops.paste_encode_mask(m, box, h, w)
+        got = maskops.decode_rle(rle)
+        np.testing.assert_array_equal(got, ref)

@@ -699,3 +699,76 @@ def test_retinanet_full_model_inference_parity():
                 found = True
                 break
         assert found, (i, my_boxes[i], my_scores[i], my_labels[i])
+
+
+def test_backbone_parity_grouped_conv_32x8d():
+    """Grouped-convolution (ResNeXt) backbone parity: NUM_GROUPS=32,
+    WIDTH_PER_GROUP=8 — the exact path of the zoo's heaviest rows
+    (reference MODEL_ZOO.md X-101-32x8d; modeling/backbone/resnet.py:239-344
+    routes groups into Conv2d(groups=num_groups)). Run on R-50 stage counts
+    to keep the CPU oracle tractable; the grouped math is identical."""
+    import torch
+
+    opts = [
+        "MODEL.RESNETS.NUM_GROUPS", "32",
+        "MODEL.RESNETS.WIDTH_PER_GROUP", "8",
+        "MODEL.RESNETS.STRIDE_IN_1X1", "False",
+    ]
+    ref_cfg = fresh_ref_cfg(YAML)
+    ref_cfg.merge_from_list(opts)
+    from maskrcnn_benchmark.modeling.backbone import build_backbone as ref_build
+
+    torch.manual_seed(0)
+    ref_bb = ref_build(ref_cfg)
+    ref_bb.eval()
+
+    x = np.random.RandomState(1).randn(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref_bb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref_outs = [o.numpy().transpose(0, 2, 3, 1) for o in ref_outs]
+
+    from maskrcnn_tpu.models.backbone import build_backbone as my_build
+
+    c = _my_cfg(opts=opts)
+    my_bb = my_build(c)
+    params = my_bb.init(jax.random.PRNGKey(0))
+    state = torch_state_to_numpy(ref_bb)
+    params = load_torchstyle_state(state, {"backbone": params})["backbone"]
+    outs = my_bb.apply(params, jnp.asarray(x), compute_dtype=jnp.float32)
+    assert len(outs) == len(ref_outs)
+    for mine, ref in zip(outs, ref_outs):
+        mine = np.asarray(mine)
+        assert mine.shape == ref.shape
+        denom = np.abs(ref).max() + 1e-6
+        assert np.abs(mine - ref).max() / denom < 2e-4, (
+            mine.shape, np.abs(mine - ref).max(), denom
+        )
+
+
+def test_x101_config_builds_and_infers():
+    """The real zoo X-101-32x8d config (MODEL_ZOO.md:24,28) builds and runs
+    a jitted tiny-image inference end-to-end (101-layer grouped backbone +
+    FPN + heads) with finite outputs."""
+    c = _my_cfg("/root/reference/configs/e2e_faster_rcnn_X_101_32x8d_FPN_1x.yaml")
+    c.MODEL.WEIGHT = ""
+    c.merge_from_list([
+        "INPUT.MIN_SIZE_TEST", "64", "INPUT.MAX_SIZE_TEST", "96",
+        "MODEL.RPN.PRE_NMS_TOP_N_TEST", "50",
+        "MODEL.RPN.POST_NMS_TOP_N_TEST", "20",
+        "MODEL.ROI_HEADS.DETECTIONS_PER_IMG", "10",
+    ])
+    assert c.MODEL.RESNETS.NUM_GROUPS == 32
+    assert c.MODEL.RESNETS.WIDTH_PER_GROUP == 8
+    from maskrcnn_tpu.models import build_detection_model
+
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = {
+        "images": jnp.asarray(
+            np.random.RandomState(0).randn(1, 64, 96, 3), jnp.float32
+        ),
+        "image_sizes": jnp.asarray([[64, 96]], jnp.int32),
+    }
+    det = jax.jit(model.infer_forward)(params, batch)
+    assert np.isfinite(np.asarray(det["scores"])).all()
+    assert det["boxes"].shape[-1] == 4
