@@ -429,8 +429,12 @@ class GeneralizedRCNN:
     def infer_forward(self, params, batch):
         cfg = self.cfg
         image_sizes = batch["image_sizes"]
-        images = self._prepare_images(batch["images"], image_sizes)
-        features = self.backbone.apply(params["backbone"], images, self.compute_dtype)
+        with jax.named_scope("image_prep"):
+            images = self._prepare_images(batch["images"], image_sizes)
+        with jax.named_scope("backbone"):
+            features = self.backbone.apply(
+                params["backbone"], images, self.compute_dtype
+            )
         anchors = self._anchors(features)
 
         if self.retinanet_on:
@@ -441,10 +445,13 @@ class GeneralizedRCNN:
                 anchors, cls_lvls, reg_lvls, image_sizes, self.retina_cfg
             )
 
-        objectness, bbox_reg = self._rpn_outputs(params, features)
-        prop_boxes, prop_scores, prop_valid = select_proposals(
-            anchors, objectness, bbox_reg, image_sizes, self.rpn_cfg, is_train=False
-        )
+        with jax.named_scope("rpn_head"):
+            objectness, bbox_reg = self._rpn_outputs(params, features)
+        with jax.named_scope("proposals"):
+            prop_boxes, prop_scores, prop_valid = select_proposals(
+                anchors, objectness, bbox_reg, image_sizes, self.rpn_cfg,
+                is_train=False,
+            )
         if self.rpn_only:
             return dict(
                 boxes=prop_boxes, scores=prop_scores,
@@ -454,31 +461,36 @@ class GeneralizedRCNN:
 
         rois_flat, batch_idx = _flatten_rois(prop_boxes)
         pb = self._infer_pooler_backend(len(self.box_pooler.scales))
-        class_logits, box_regression, _ = bh.run_box_head(
-            params["roi_heads"]["box"], self._box_features(features),
-            rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
-            pooler_backend=pb,
-        )
+        with jax.named_scope("box_head"):
+            class_logits, box_regression, _ = bh.run_box_head(
+                params["roi_heads"]["box"], self._box_features(features),
+                rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
+                pooler_backend=pb,
+            )
         b, n = prop_scores.shape
         c = class_logits.shape[-1]
-        detections = bh.box_head_inference(
-            class_logits.reshape(b, n, c),
-            box_regression.reshape(b, n, -1),
-            prop_boxes, prop_valid, image_sizes,
-            self.box_reg_weights,
-            cfg.MODEL.ROI_HEADS.SCORE_THRESH,
-            cfg.MODEL.ROI_HEADS.NMS,
-            cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
-            cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
-        )
+        with jax.named_scope("box_postproc"):
+            detections = bh.box_head_inference(
+                class_logits.reshape(b, n, c),
+                box_regression.reshape(b, n, -1),
+                prop_boxes, prop_valid, image_sizes,
+                self.box_reg_weights,
+                cfg.MODEL.ROI_HEADS.SCORE_THRESH,
+                cfg.MODEL.ROI_HEADS.NMS,
+                cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+                cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+            )
 
         if self.mask_on:
             det_flat, det_batch = _flatten_rois(detections["boxes"])
-            x = self._run_mask_extractor(params, features, det_flat, det_batch,
-                                         pooler_backend=pb)
-            mask_logits = mh.apply_mask_predictor(
-                params["roi_heads"]["mask"]["predictor"], x, cfg, self.compute_dtype
-            )  # [B*D, M, M, C]
+            with jax.named_scope("mask_head"):
+                x = self._run_mask_extractor(
+                    params, features, det_flat, det_batch, pooler_backend=pb
+                )
+                mask_logits = mh.apply_mask_predictor(
+                    params["roi_heads"]["mask"]["predictor"], x, cfg,
+                    self.compute_dtype,
+                )  # [B*D, M, M, C]
             labels = detections["labels"].reshape(-1)
             safe = jnp.clip(labels, 0, mask_logits.shape[-1] - 1)
             probs = jax.nn.sigmoid(

@@ -39,35 +39,46 @@ def init_rpn_head(key, in_channels, num_anchors):
 
 def apply_rpn_head(params, features, compute_dtype=jnp.bfloat16):
     """Returns (objectness, bbox_reg) lists; objectness [B,H,W,A],
-    bbox_reg [B,H,W,4A]. Weights are shared across levels."""
+    bbox_reg [B,H,W,4A]. Weights are shared across levels.
+
+    The cls and reg 1x1 convs run as ONE conv on concatenated output
+    channels (params stay separate for checkpoint compatibility): with A=3
+    both heads pad their 3/12 output channels to a full 128-lane MXU tile
+    anyway, so two convs cost two full passes over the [B,H,W,256] trunk
+    activation (110 MB at P2) for the price of one — merging halves that
+    traffic in the forward AND in the weight-gradient pass."""
+    a = params["cls_logits"]["w"].shape[-1]
+    merged = {
+        "w": jnp.concatenate(
+            [params["cls_logits"]["w"], params["bbox_pred"]["w"]], axis=-1
+        ),
+        "b": jnp.concatenate(
+            [params["cls_logits"]["b"], params["bbox_pred"]["b"]]
+        ),
+    }
     objectness, bbox_reg = [], []
     for f in features:
         t = relu(conv2d(f, params["conv"], padding=1, compute_dtype=compute_dtype))
-        objectness.append(
-            conv2d(t, params["cls_logits"], padding=0, compute_dtype=compute_dtype)
-        )
-        bbox_reg.append(
-            conv2d(t, params["bbox_pred"], padding=0, compute_dtype=compute_dtype)
-        )
+        o = conv2d(t, merged, padding=0, compute_dtype=compute_dtype)
+        objectness.append(o[..., :a])
+        bbox_reg.append(o[..., a:])
     return objectness, bbox_reg
 
 
 # -- proposal selection (fixed shapes) --------------------------------------------
 
 
-def _select_level_proposals(
+def _level_candidates(
     anchors,  # [N, 4] all anchors of this level (same for every image)
     objectness,  # [B, N] logits
     bbox_reg,  # [B, N, 4]
     image_sizes,  # [B, 2] (h, w)
     pre_nms_top_n,
-    post_nms_top_n,
-    nms_thresh,
     min_size,
 ):
-    """One pyramid level for the whole batch.
-    Returns (boxes [B, K, 4], scores [B, K] (sigmoid), valid [B, K]),
-    K = post_nms_top_n."""
+    """Pre-NMS candidates for one pyramid level: top-k by objectness,
+    decoded, clipped. Returns (boxes [B, k_pre, 4], scores [B, k_pre],
+    valid [B, k_pre])."""
     b, n = objectness.shape
     k_pre = min(pre_nms_top_n, n)
 
@@ -83,15 +94,7 @@ def _select_level_proposals(
     w = image_sizes[:, 1:2].astype(jnp.float32)
     boxes = clip_boxes_to_image(boxes, (h, w))
     valid = small_box_mask(boxes, min_size)
-
-    keep = batched_nms(boxes, top_scores, valid, nms_thresh)
-    masked = jnp.where(keep, top_scores, NEG_INF)
-    sel_scores, sel = jax.lax.top_k(masked, min(post_nms_top_n, k_pre))
-    out_valid = sel_scores > NEG_INF / 2
-    out_boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
-    out_scores = jnp.where(out_valid, sel_scores, 0.0)
-    out_boxes = jnp.where(out_valid[..., None], out_boxes, 0.0)
-    return out_boxes, out_scores, out_valid
+    return boxes, top_scores, valid
 
 
 def select_proposals(
@@ -112,7 +115,7 @@ def select_proposals(
     fpn_post = rpn_cfg["fpn_post_nms_top_n_train" if is_train else "fpn_post_nms_top_n_test"]
 
     num_levels = len(anchors_per_level)
-    all_boxes, all_scores, all_valid = [], [], []
+    cand_boxes, cand_scores, cand_valid = [], [], []
     for lvl in range(num_levels):
         obj = objectness_per_level[lvl]
         b = obj.shape[0]
@@ -121,17 +124,55 @@ def select_proposals(
         # (N, HWA, C) ordering: H, W, A) — NHWC already has that order.
         obj = obj.reshape(b, -1)
         reg = bbox_reg_per_level[lvl].reshape(b, -1, a, 4).reshape(b, -1, 4)
-        bx, sc, vl = _select_level_proposals(
+        bx, sc, vl = _level_candidates(
             anchors_per_level[lvl], obj, reg, image_sizes,
-            pre_nms, post_nms, rpn_cfg["nms_thresh"], rpn_cfg["min_size"],
+            pre_nms, rpn_cfg["min_size"],
         )
-        all_boxes.append(bx)
-        all_scores.append(sc)
-        all_valid.append(vl)
+        cand_boxes.append(bx)
+        cand_scores.append(sc)
+        cand_valid.append(vl)
 
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    scores = jnp.concatenate(all_scores, axis=1)
-    valid = jnp.concatenate(all_valid, axis=1)
+    # One NMS pass over all (level, image) lanes. The greedy scan is
+    # sequential per lane; stacking L levels x B images into [L*B] lanes
+    # lets the blocked Pallas kernel sweep them together — at batch 1 this
+    # is 5x fewer sequential NMS passes than per-level kernel launches
+    # (reference loops levels AND images in python, rpn/inference.py:76-130)
+    b = cand_scores[0].shape[0]
+    k_max = max(s.shape[1] for s in cand_scores)
+
+    def _pad_to(x, k, fill):
+        pad = k - x.shape[1]
+        if pad == 0:
+            return x
+        widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    sb = jnp.concatenate([_pad_to(x, k_max, 0.0) for x in cand_boxes])
+    ss = jnp.concatenate([_pad_to(x, k_max, NEG_INF) for x in cand_scores])
+    sv = jnp.concatenate([_pad_to(x, k_max, False) for x in cand_valid])
+    keep = batched_nms(sb, ss, sv, rpn_cfg["nms_thresh"])  # [L*B, k_max]
+
+    masked = jnp.where(keep, ss, NEG_INF)
+    k_post = min(post_nms, k_max)
+    sel_scores, sel = jax.lax.top_k(masked, k_post)  # [L*B, k_post]
+    sel_valid = sel_scores > NEG_INF / 2
+    sel_boxes = jnp.where(
+        sel_valid[..., None],
+        jnp.take_along_axis(sb, sel[..., None], axis=1),
+        0.0,
+    )
+    sel_scores = jnp.where(sel_valid, sel_scores, 0.0)
+    # [L*B, k_post] -> [B, L*k_post] (level-major per image, as the
+    # reference's cat_boxlist over levels)
+    boxes = sel_boxes.reshape(num_levels, b, k_post, 4).transpose(
+        1, 0, 2, 3
+    ).reshape(b, num_levels * k_post, 4)
+    scores = sel_scores.reshape(num_levels, b, k_post).transpose(1, 0, 2).reshape(
+        b, num_levels * k_post
+    )
+    valid = sel_valid.reshape(num_levels, b, k_post).transpose(1, 0, 2).reshape(
+        b, num_levels * k_post
+    )
 
     if num_levels > 1:
         b, n = scores.shape

@@ -98,20 +98,48 @@ def sample_topk_indices(labels, key, batch_size_per_image, positive_fraction):
     indices (padded with arbitrary indices where invalid).
 
     Returns (indices [K] int32, valid [K] bool, is_pos [K] bool). Positives
-    come first. Used by the ROI box head, which needs a fixed-size ROI batch.
-    """
-    pos_mask, neg_mask = sample_masks(
-        labels, key, batch_size_per_image, positive_fraction
-    )
+    come first. Used by the ROI box head, which needs a fixed-size ROI
+    batch, and by the RPN loss at N~270k anchors.
+
+    Unlike sample_masks (whose [N]-mask output forces threshold+cumsum
+    over the full array), the index form can assemble the sample straight
+    from the pos/neg top-k results: the top num_pos_quota positives plus
+    the top (K - num_pos) negatives ARE the sample, and a tiny [K + quota]
+    merge orders them. That is two large top-k passes instead of the three
+    the mask-based path cost (~1.5 ms/step at RPN scale, batch 8)."""
     n = labels.shape[0]
-    rand = jax.random.uniform(key, (n,))
-    # priority: sampled positives (2, 3), sampled negatives (1, 2), rest -inf
-    priority = jnp.where(
-        pos_mask, 2.0 + rand, jnp.where(neg_mask, 1.0 + rand, NEG_INF)
-    )
-    top_p, idx = top_k_fast(priority, batch_size_per_image)
+    kp, kn = jax.random.split(key)
+    k_out = min(batch_size_per_image, n)
+    num_pos_quota = min(int(batch_size_per_image * positive_fraction), k_out)
+
+    # random priorities in (0, 1); padded/ignored entries at -inf
+    pos_priority = jnp.where(labels >= 1, jax.random.uniform(kp, (n,)), NEG_INF)
+    neg_priority = jnp.where(labels == 0, jax.random.uniform(kn, (n,)), NEG_INF)
+
+    neg_vals, neg_idx = top_k_fast(neg_priority, k_out)
+    if num_pos_quota > 0:
+        pos_vals, pos_idx = top_k_fast(pos_priority, num_pos_quota)
+        num_pos = jnp.sum(pos_vals > NEG_INF / 2)
+        # offset real candidates into (2, 3) / (1, 2) bands so a plain merge
+        # sort puts positives first; rank-gate negatives to their quota
+        pos_vals = jnp.where(pos_vals > NEG_INF / 2, pos_vals + 2.0, NEG_INF)
+        neg_ok = (jnp.arange(k_out) < batch_size_per_image - num_pos) & (
+            neg_vals > NEG_INF / 2
+        )
+        neg_vals = jnp.where(neg_ok, neg_vals + 1.0, NEG_INF)
+        cand_vals = jnp.concatenate([pos_vals, neg_vals])
+        cand_idx = jnp.concatenate(
+            [pos_idx.astype(jnp.int32), neg_idx.astype(jnp.int32)]
+        )
+    else:  # POSITIVE_FRACTION 0: negatives only
+        neg_ok = neg_vals > NEG_INF / 2
+        cand_vals = jnp.where(neg_ok, neg_vals + 1.0, NEG_INF)
+        cand_idx = neg_idx.astype(jnp.int32)
+
+    top_p, sel = jax.lax.top_k(cand_vals, k_out)  # tiny: K + quota wide
+    idx = cand_idx[sel]
     valid = top_p > 0
     # >= : a sampled positive whose uniform draw is exactly 0.0 has
     # priority == 2.0 and must still count as positive
     is_pos = top_p >= 2.0
-    return idx.astype(jnp.int32), valid, is_pos
+    return idx, valid, is_pos

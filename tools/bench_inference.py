@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 BASELINE_S_PER_IM = 0.12966
 
@@ -62,13 +63,27 @@ def main():
     # device-resident inputs: the reference's 0.1297 s/im excludes data
     # loading, so this is the apples-to-apples model-inference number (the
     # host numpy round trip above also pays this env's TPU tunnel — tens of
-    # MB/s on a bad day — which a co-located host would not)
-    dev_inputs = jax.block_until_ready([jax.device_put(x) for x in inputs])
+    # MB/s on a bad day — which a co-located host would not). Iterations
+    # chain through a scalar data dependency so the whole sequence
+    # pipelines device-side with ONE final host fetch — per-dispatch
+    # tunnel round trips otherwise dominate (hundreds of ms/call observed)
+    # and have nothing to do with the model.
+    dev_input = jax.block_until_ready(jax.device_put(inputs[0]))
+
+    @jax.jit
+    def chained_step(s, images, image_sizes):
+        imgs = images * (1.0 + s * 1e-12)
+        det = infer(params, dict(images=imgs, image_sizes=image_sizes))
+        return det["scores"].astype(jnp.float32).sum() * 1e-12
+
+    sizes = jax.device_put(np.asarray([[800, 1333]] * b, np.int32))
+    s = chained_step(jnp.float32(0.0), dev_input, sizes)
+    float(s)  # compile + sync
+    s = jnp.float32(0.0)
     t0 = time.perf_counter()
-    for i in range(iters):
-        det = infer(params, dict(images=dev_inputs[i % 4],
-                                 image_sizes=batch["image_sizes"]))
-    float(det["scores"].sum())  # scalar fetch: sync that survives the tunnel
+    for _ in range(iters):
+        s = chained_step(s, dev_input, sizes)
+    float(s)
     dt = (time.perf_counter() - t0) / iters
     s_per_im = dt / b
     print(

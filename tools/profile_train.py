@@ -83,9 +83,48 @@ def build_step(b):
     return step, params, opt_state, batch
 
 
+def build_infer(b):
+    """--infer mode: profile infer_forward instead of the train step."""
+    from __graft_entry__ import _flagship_cfg
+    from maskrcnn_tpu.models import build_detection_model
+
+    override = os.environ.get("MASKRCNN_TPU_PROFILE_CONFIG")
+    if override:
+        from maskrcnn_tpu.config import cfg as _cfg
+
+        c = _cfg.clone()
+        c.merge_from_file(override)
+        c.MODEL.WEIGHT = ""
+    else:
+        c = _flagship_cfg(tiny=False)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    h, w = 800, 1344
+    rs = np.random.RandomState(0)
+    batch = {
+        "images": jax.numpy.asarray(
+            rs.randn(b, h, w, 3).astype(np.float32)
+        ),
+        "image_sizes": jax.numpy.asarray([[800, 1333]] * b, np.int32),
+    }
+    infer = jax.jit(model.infer_forward)
+
+    def step(params, _opt, batch, _rng):
+        det = infer(params, batch)
+        return None, None, {"loss": det["scores"].sum()}
+
+    return step, params, None, batch
+
+
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    step, params, opt_state, batch = build_step(b)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    infer_mode = "--infer" in sys.argv
+    b = int(args[0]) if args else (1 if infer_mode else 8)
+    if infer_mode:
+        step, params, opt_state, batch = build_infer(b)
+    else:
+        step, params, opt_state, batch = build_step(b)
     rng = jax.random.PRNGKey(1)
 
     # warm up / compile (scalar fetch: block_until_ready under-reports
