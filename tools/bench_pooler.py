@@ -24,17 +24,34 @@ import jax
 import jax.numpy as jnp
 
 
-def make_inputs(rng, b, r, p):
+def make_inputs(rng, b, r, p, clustered=False):
     feats = [
         jnp.asarray(rng.randn(b, 200, 336, 256), jnp.bfloat16),
         jnp.asarray(rng.randn(b, 100, 168, 256), jnp.bfloat16),
         jnp.asarray(rng.randn(b, 50, 84, 256), jnp.bfloat16),
         jnp.asarray(rng.randn(b, 25, 42, 256), jnp.bfloat16),
     ]
-    ctr = rng.uniform(100, 700, (r, 2))
-    wh = rng.uniform(30, 300, (r, 2))
+    if clustered:
+        # training-like: sampled ROIs cluster around ~6 gt objects per
+        # image (box-head positives + near-misses), so many share pooler
+        # windows — the regime the window-merged kernels exploit
+        n_obj = 6
+        ctr_obj = rng.uniform(100, 700, (b, n_obj, 2))
+        wh_obj = np.exp(rng.uniform(np.log(40), np.log(300), (b, n_obj, 2)))
+        per = r // b
+        pick = rng.randint(0, n_obj, (b, per))
+        ctr = np.take_along_axis(ctr_obj, pick[..., None], 1)
+        wh = np.take_along_axis(wh_obj, pick[..., None], 1)
+        ctr = ctr + rng.randn(b, per, 2) * wh * 0.15
+        wh = wh * np.exp(rng.randn(b, per, 2) * 0.2)
+        ctr = ctr.reshape(r, 2)
+        wh = wh.reshape(r, 2)
+        bidx = jnp.asarray(np.repeat(np.arange(b), per), jnp.int32)
+    else:
+        ctr = rng.uniform(100, 700, (r, 2))
+        wh = rng.uniform(30, 300, (r, 2))
+        bidx = jnp.asarray(rng.randint(0, b, r), jnp.int32)
     rois = jnp.asarray(np.concatenate([ctr - wh / 2, ctr + wh / 2], -1), jnp.float32)
-    bidx = jnp.asarray(rng.randint(0, b, r), jnp.int32)
     cot = jnp.asarray(rng.randn(r, p, p, 256), jnp.bfloat16)
     return feats, rois, bidx, cot
 
@@ -57,22 +74,22 @@ def main():
     print("device:", jax.devices()[0])
     rng = np.random.RandomState(0)
     b = 8
+    clustered = "--clustered" in sys.argv
+    impls = ("roi", "rmw") if clustered else ("rmw", "scatter")
 
     for name, r, p in [("box-head", b * 512, 7), ("mask-head", b * 128, 14)]:
         pcfg = PoolerConfig(p, (0.25, 0.125, 0.0625, 0.03125), 2)
-        feats, rois, bidx, cot = make_inputs(rng, b, r, p)
+        feats, rois, bidx, cot = make_inputs(rng, b, r, p, clustered=clustered)
 
         pools = {
             "gather": lambda fs: multilevel_roi_align(
                 list(fs), rois, bidx, pcfg, backend="gather"
             ),
-            "pallas+rmw": make_wrap(
-                make_trainable_roi_align(pcfg, bwd_impl="rmw"), rois, bidx
-            ),
-            "pallas+scatter": make_wrap(
-                make_trainable_roi_align(pcfg, bwd_impl="scatter"), rois, bidx
-            ),
         }
+        for impl in impls:
+            pools["pallas+" + impl] = make_wrap(
+                make_trainable_roi_align(pcfg, bwd_impl=impl), rois, bidx
+            )
 
         for pname, pool in pools.items():
             # forward only
