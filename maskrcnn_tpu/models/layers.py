@@ -161,9 +161,14 @@ def conv_transpose2d(x, p, stride=2, compute_dtype=jnp.bfloat16):
 
 def frozen_bn(x, p):
     """y = x * scale/sqrt(var) + (bias - mean*scale/sqrt(var)); no eps,
-    matching the reference exactly (layers/batch_norm.py:27-31)."""
-    scale = p["scale"] * lax.rsqrt(p["var"])
-    bias = p["bias"] - p["mean"] * scale
+    matching the reference exactly (layers/batch_norm.py:27-31).
+
+    The affine params are stop_gradient'ed: frozen BN never trains (the
+    reference registers them as buffers), and without the stop the backward
+    materializes per-channel reductions over every full-size activation
+    only for the optimizer to zero them."""
+    scale = lax.stop_gradient(p["scale"] * lax.rsqrt(p["var"]))
+    bias = lax.stop_gradient(p["bias"] - p["mean"] * scale)
     return (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(x.dtype)
 
 

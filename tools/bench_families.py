@@ -22,6 +22,9 @@ CONFIGS = [
     ("faster_rcnn_R_50_FPN", "configs/e2e_faster_rcnn_R_50_FPN_1x.yaml"),
     ("keypoint_rcnn_R_50_FPN", "configs/e2e_keypoint_rcnn_R_50_FPN_1x.yaml"),
     ("retinanet_R_50_FPN", "configs/retinanet/retinanet_R-50-FPN_1x.yaml"),
+    # The zoo's heaviest row (reference MODEL_ZOO.md:24,28): exercises
+    # grouped convolution (num_groups=32, width_per_group=8).
+    ("mask_rcnn_X_101_32x8d_FPN", "configs/e2e_mask_rcnn_X_101_32x8d_FPN_1x.yaml"),
 ]
 
 
