@@ -293,6 +293,13 @@ _C.TPU.POOLER_BACKEND = "auto"
 # cap only ever SUBSAMPLES when a batch carries more than B*cap person
 # positives (pathological crowding); 0 disables compaction.
 _C.TPU.KEYPOINT_ROI_CAP = 32
+# Mask-head ROI budget per image, same batch-global cross-image compaction
+# as KEYPOINT_ROI_CAP (models/detector.py:_compact_positives): the B*128
+# padded positive quota is packed down to B*cap rows before the 4-conv +
+# deconv mask stack. Loss-identical whenever the batch carries <= B*cap
+# real positives; COCO averages ~7 instances/image, so 64 leaves ample
+# headroom. 0 disables compaction (full reference quota).
+_C.TPU.MASK_ROI_CAP = 64
 # Normalize images on DEVICE instead of in the host loader: the pipeline
 # stays uint8 end-to-end (the reference is uint8 until after Resize too),
 # making host->device transfer and worker IPC 4x smaller and removing the

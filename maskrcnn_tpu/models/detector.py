@@ -53,6 +53,39 @@ def _flatten_rois(boxes):
     return flat, idx
 
 
+def _compact_positives(pos_state, cap):
+    """Cross-image compaction of the positive-ROI batch for the mask and
+    keypoint heads.
+
+    The box-head sampler pads each image to the full positive quota
+    (BATCH_SIZE_PER_IMAGE * POSITIVE_FRACTION = 128), so the flat positive
+    batch is B*128 rows of which typically only a small fraction are real
+    positives — yet every row pays full freight through the pooler and the
+    per-ROI conv stacks. Packing the VALID positives from the whole batch
+    into a `cap`-row budget (TPU.MASK_ROI_CAP / TPU.KEYPOINT_ROI_CAP per
+    image, batch-global) cuts that cost proportionally.
+
+    Loss-preserving: the head losses normalize over the valid count, so as
+    long as every valid positive survives (the common case — the cap only
+    binds when a batch carries > cap real positives, i.e. pathological
+    crowding) the loss is bit-identical to the uncompacted path. Under
+    crowding it subsamples positives, the same trade the reference makes
+    per image via its sampling quota (loss.py:55-68). cap <= 0 disables.
+
+    pos_state = (rois [R,4], batch_idx [R], valid [R], labels [R],
+    matched_gt [R]); returns the same tuple at [cap] rows (sorted original
+    order, preserving the sorted-ROI locality the Pallas pooler exploits).
+    """
+    rois, batch_idx, valid, labels, mg = pos_state
+    if not (0 < cap < rois.shape[0]):
+        return pos_state
+    from ..ops.sampler import top_k_fast
+
+    _, sel = top_k_fast(valid.astype(jnp.float32), cap)
+    sel = jnp.sort(sel)
+    return (rois[sel], batch_idx[sel], valid[sel], labels[sel], mg[sel])
+
+
 class GeneralizedRCNN:
     def __init__(self, cfg):
         self.cfg = cfg.clone() if hasattr(cfg, "clone") else cfg
@@ -353,61 +386,53 @@ class GeneralizedRCNN:
                 targets["matched_gt_idx"], pos_idx, axis=1
             )
             pos_flat, pos_batch = _flatten_rois(pos_rois)
+            pos_state = (
+                pos_flat, pos_batch, pos_valid.reshape(-1),
+                pos_labels.reshape(-1), pos_mg.reshape(-1),
+            )
 
         if self.mask_on:
+            # cross-image compaction (see _compact_positives): the 4-conv +
+            # deconv mask stack over the padded B*128 positive quota is ~15%
+            # of the step, while real batches carry far fewer positives
+            m_rois, m_batch, m_valid, m_labels, m_mg = _compact_positives(
+                pos_state, cfg.TPU.MASK_ROI_CAP * images.shape[0]
+            )
             with jax.named_scope("mask_head"):
                 x = self._run_mask_extractor(
-                    params, features, pos_flat, pos_batch, pooler_backend=pb
+                    params, features, m_rois, m_batch, pooler_backend=pb
                 )
                 # gt-class-only logits: the loss never reads the other C-1
-                # channels, and skipping them avoids a [B*Km, M, M, C] f32
+                # channels, and skipping them avoids a [R, M, M, C] f32
                 # zeros+scatter in the backward pass
                 mask_logits = mh.apply_mask_predictor_at_class(
                     params["roi_heads"]["mask"]["predictor"], x,
-                    pos_labels.reshape(-1), cfg, self.compute_dtype
-                )  # [B*Km, M, M]
+                    m_labels, cfg, self.compute_dtype
+                )  # [R, M, M]
             with jax.named_scope("mask_targets"):
-                # gather matched gt mask patches
+                # gather matched gt mask patches by flat (image, gt) index
                 gt_masks = batch["gt_masks"].astype(jnp.float32)  # [B,G,S,S]
-                patches = jax.vmap(lambda p, i: p[i])(gt_masks, pos_mg)
-                s = patches.shape[-1]
-                km = pos_rois.shape[1]
-                matched_boxes = jax.vmap(lambda gb, i: gb[i])(gt_boxes, pos_mg)
+                g = gt_masks.shape[1]
+                flat_ix = m_batch * g + m_mg
+                s = gt_masks.shape[-1]
+                patches = jnp.take(gt_masks.reshape(-1, s, s), flat_ix, axis=0)
+                matched_boxes = jnp.take(gt_boxes.reshape(-1, 4), flat_ix, axis=0)
                 m_res = mask_logits.shape[1]
-                tgt = mh.project_gt_masks(
-                    patches.reshape(-1, s, s),
-                    matched_boxes.reshape(-1, 4),
-                    pos_flat,
-                    m_res,
-                )
+                tgt = mh.project_gt_masks(patches, matched_boxes, m_rois, m_res)
                 losses["loss_mask"] = mh.mask_head_loss_picked(
-                    mask_logits, tgt, pos_valid.reshape(-1)
+                    mask_logits, tgt, m_valid
                 )
 
         if self.keypoint_on:
-            gt_kps = batch["gt_keypoints"].astype(jnp.float32)
-            matched_kps = jax.vmap(lambda k, i: k[i])(gt_kps, pos_mg)
-            kshape = matched_kps.shape
-            kp_rois, kp_batch = pos_flat, pos_batch
-            kp_valid = pos_valid.reshape(-1)
-            kp_targets = matched_kps.reshape(-1, kshape[2], 3)
-            # cross-image compaction: typical keypoint batches carry far
-            # fewer person positives than the B*128 padded quota, and the
-            # 8x512-channel head is the step's FLOP bulk — pack the valid
-            # positives from the whole batch into a B*cap ROI budget
-            # (TPU.KEYPOINT_ROI_CAP; only subsamples under pathological
-            # crowding). Reference keeps the full per-image quota
-            # (roi_heads/keypoint_head/loss.py:98-117) at dynamic shapes.
-            cap = cfg.TPU.KEYPOINT_ROI_CAP * images.shape[0]
-            if 0 < cap < kp_rois.shape[0]:
-                from ..ops.sampler import top_k_fast
-
-                _, sel = top_k_fast(kp_valid.astype(jnp.float32), cap)
-                sel = jnp.sort(sel)  # keep sorted-ROI locality for pooling
-                kp_rois = kp_rois[sel]
-                kp_batch = kp_batch[sel]
-                kp_valid = kp_valid[sel]
-                kp_targets = kp_targets[sel]
+            kp_rois, kp_batch, kp_valid, _, kp_mg = _compact_positives(
+                pos_state, cfg.TPU.KEYPOINT_ROI_CAP * images.shape[0]
+            )
+            gt_kps = batch["gt_keypoints"].astype(jnp.float32)  # [B,G,K,3]
+            g = gt_kps.shape[1]
+            kk = gt_kps.shape[2]
+            kp_targets = jnp.take(
+                gt_kps.reshape(-1, kk, 3), kp_batch * g + kp_mg, axis=0
+            )
             with jax.named_scope("keypoint_head"):
                 kp_logits = kh.run_keypoint_head(
                     params["roi_heads"]["keypoint"],

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.box_ops import clip_boxes_to_image, decode_boxes, encode_boxes, small_box_mask
 from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
-from ..ops.matcher import match_anchors_streaming
+from ..ops.matcher import match_anchors_batched
 from ..ops.nms import NEG_INF, batched_nms
 from ..ops.sampler import sample_topk_indices, top_k_fast
 from .layers import conv2d, init_conv, relu
@@ -228,10 +228,12 @@ def rpn_loss(
     b = objectness.shape[0]
     keys = jax.random.split(rng, b)
 
-    def per_image(anchors_vis, gt_b, gt_v, obj, reg, key):
-        # streaming matcher: the [G, N] IoU table at N~270k anchors is
-        # ~100 MB/image; match_anchors_streaming folds it chunk-by-chunk
-        matched = match_anchors_streaming(anchors, gt_b, gt_v, fg_iou, bg_iou)
+    # batched matcher outside the vmap: the Pallas kernel keeps the whole
+    # anchor array in VMEM and bounds its gt loop by the actual per-image
+    # gt count (ops/pallas/matcher_kernel.py); lax streaming fallback off-TPU
+    matched_all = match_anchors_batched(anchors, gt_boxes, gt_valid, fg_iou, bg_iou)
+
+    def per_image(anchors_vis, matched, gt_b, obj, reg, key):
         labels = jnp.where(matched >= 0, 1, jnp.where(matched == -1, 0, -1))
         # discard anchors outside the image (visibility)
         labels = jnp.where(anchors_vis, labels, -1)
@@ -243,7 +245,7 @@ def rpn_loss(
         return obj[idx], reg[idx], reg_t, valid, is_pos
 
     obj_s, reg_s, reg_t, valid, is_pos = jax.vmap(per_image)(
-        anchors_visible, gt_boxes, gt_valid, objectness, bbox_reg, keys
+        anchors_visible, matched_all, gt_boxes, objectness, bbox_reg, keys
     )
 
     n_sampled = jnp.maximum(jnp.sum(valid), 1)

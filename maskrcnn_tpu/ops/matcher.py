@@ -123,3 +123,34 @@ def match_anchors_streaming(
     out = jnp.where(below, BELOW_LOW_QUALITY, matches)
     out = jnp.where(between, BETWEEN_THRESHOLDS, out)
     return jnp.where(update, matches, out)
+
+
+def match_anchors_batched(
+    anchors,  # [N, 4] (shared across images)
+    gt_boxes,  # [B, G, 4]
+    gt_valid,  # [B, G] bool
+    high_threshold,
+    low_threshold,
+):
+    """Batched allow_low_quality anchor matcher: [B, N] s32.
+
+    Dispatches to the fused Pallas kernel on TPU (VMEM-resident anchors,
+    gt loop bounded by the actual per-image gt count — see
+    ops/pallas/matcher_kernel.py) and to vmapped match_anchors_streaming
+    elsewhere. Same contract as the reference Matcher with
+    allow_low_quality_matches=True (matcher.py:49-111)."""
+    from .nms import _use_pallas
+
+    if _use_pallas():
+        from .pallas.matcher_kernel import match_anchors_pallas
+
+        return match_anchors_pallas(
+            anchors, gt_boxes, gt_valid, high_threshold, low_threshold
+        )
+    import jax
+
+    return jax.vmap(
+        lambda gb, gv: match_anchors_streaming(
+            anchors, gb, gv, high_threshold, low_threshold
+        )
+    )(gt_boxes, gt_valid)

@@ -214,3 +214,42 @@ def test_multichip_dryrun_fullsize():
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     assert "full-size) OK on 8 devices" in r.stdout, r.stdout[-2000:]
+
+
+def test_positive_roi_compaction_preserves_losses():
+    """Cross-image compaction (TPU.MASK_ROI_CAP / KEYPOINT_ROI_CAP) must not
+    change the mask loss as long as every valid positive fits in the
+    budget: the loss normalizes over valid rows, so packing them across
+    images is a pure layout change (models/detector.py:_compact_positives).
+    One image carries all the gt, the other none, so the valid positives
+    (<= 4, the tiny per-image quota) fit a binding 3-per-image cap."""
+    from maskrcnn_tpu.models.detector import GeneralizedRCNN
+
+    base = tiny(cfg.clone())
+    base.merge_from_file(
+        os.path.join(CONFIG_DIR, "e2e_mask_rcnn_R_50_FPN_1x.yaml")
+    )
+    base = tiny(base)
+
+    batch = make_batch(with_targets=True)
+    # image 1: no ground truth -> no positives from it
+    gl = np.asarray(batch["gt_labels"]).copy()
+    gl[1] = 0
+    batch = dict(batch, gt_labels=jnp.asarray(gl))
+
+    losses = {}
+    for cap in (0, 3):  # 0 = disabled; 3/image -> budget 6 < the 8 pad rows
+        c = base.clone()
+        c.TPU.MASK_ROI_CAP = cap
+        c.freeze()
+        model = GeneralizedRCNN(c)
+        params = model.init(jax.random.PRNGKey(0))
+        out = jax.jit(model.train_forward)(
+            params, batch, jax.random.PRNGKey(1)
+        )
+        losses[cap] = {k: float(v) for k, v in out.items()}
+
+    for k in losses[0]:
+        assert np.isclose(losses[0][k], losses[3][k], rtol=1e-5), (
+            k, losses[0][k], losses[3][k]
+        )

@@ -218,7 +218,8 @@ def main():
         print(f"  {c:20s} {v / 3:8.2f} ms/step {100 * v / total:5.1f}%")
 
     print(f"\n{'op':44s} {'ms/step':>8s} {'%':>5s}  origin")
-    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
+    top_n = int(os.environ.get("MASKRCNN_TPU_PROFILE_TOP", "45"))
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top_n]:
         print(f"{k[:44]:44s} {v / 3:8.2f} {100 * v / total:5.1f}  {meta.get(k, '')}")
 
 
