@@ -286,6 +286,11 @@ _C.TPU.MESH_SHAPE = (-1,)
 # ROI pooler backend: "auto" (Pallas patch-DMA kernel on TPU inference,
 # gather elsewhere), "gather", or "pallas".
 _C.TPU.POOLER_BACKEND = "auto"
+# Per-block backbone rematerialization (jax.checkpoint): "auto" enables it
+# for backbones deeper than R-50 or with grouped convs (X-101's
+# groups-to-batch conv layouts pad bf16 tiles up to 4x and blow past HBM at
+# batch 8 otherwise); "on"/"off" force it.
+_C.TPU.REMAT_BACKBONE = "auto"
 # Keypoint-head ROI budget per image, applied as a batch-GLOBAL cap
 # (B * cap) with cross-image compaction: valid person positives from the
 # whole batch are packed together before the 8x512-channel keypoint stack,

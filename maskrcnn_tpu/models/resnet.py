@@ -151,14 +151,26 @@ def init_stage(key, cin, bottleneck_channels, cout, block_count, num_groups,
 
 def apply_stage(
     blocks, x, first_stride, dilation, num_groups, stride_in_1x1, norm_kind,
-    gn_groups, compute_dtype, dcn=None,
+    gn_groups, compute_dtype, dcn=None, remat=False,
 ):
     for i, bp in enumerate(blocks):
         stride = first_stride if i == 0 else 1
-        x = apply_bottleneck(
-            bp, x, stride, dilation, num_groups, stride_in_1x1, norm_kind,
-            gn_groups, compute_dtype, dcn=dcn,
-        )
+
+        def block_fn(bp_, x_, _stride=stride):
+            return apply_bottleneck(
+                bp_, x_, _stride, dilation, num_groups, stride_in_1x1,
+                norm_kind, gn_groups, compute_dtype, dcn=dcn,
+            )
+
+        if remat:
+            # Per-block rematerialization: the backward pass recomputes the
+            # three conv+norm intermediates from the block input instead of
+            # keeping them live. Matters for deep/grouped backbones
+            # (R-101, X-101-32x8d) where XLA's groups-to-batch layout for
+            # grouped convs pads bf16[B,H,W,G,Cg] tiles up to 4x — batch-8
+            # X-101 training otherwise exceeds 16G HBM.
+            block_fn = jax.checkpoint(block_fn)
+        x = block_fn(bp, x)
     return x
 
 
@@ -249,6 +261,15 @@ class ResNetConfig:
         self.gn_groups = cfg.MODEL.GROUP_NORM.NUM_GROUPS
         self.freeze_at = cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
 
+        remat = getattr(cfg.TPU, "REMAT_BACKBONE", "auto")
+        if remat == "auto":
+            # R-50-sized plain backbones fit batch-8 activations without
+            # remat; deeper (R-101+) or grouped (ResNeXt) ones don't.
+            total_blocks = sum(s.block_count for s in self.stage_specs)
+            self.remat = total_blocks > 16 or self.num_groups > 1
+        else:
+            self.remat = remat in (True, "all", "on")
+
         stage_with_dcn = tuple(cfg.MODEL.RESNETS.STAGE_WITH_DCN)
         dcn_cfg = dict(
             modulated=cfg.MODEL.RESNETS.WITH_MODULATED_DCN,
@@ -306,6 +327,7 @@ def apply_resnet(params, x, rcfg, compute_dtype=jnp.bfloat16):
                 sp, x, st["first_stride"], st["dilation"], rcfg.num_groups,
                 rcfg.stride_in_1x1, rcfg.norm_kind, rcfg.gn_groups,
                 compute_dtype, dcn=st.get("dcn"),
+                remat=rcfg.remat and rcfg.freeze_at < idx + 2,
             )
         if st["return_features"]:
             outputs.append(x)

@@ -200,6 +200,15 @@ def main():
     for s, v in sorted(scopes.items(), key=lambda kv: -kv[1]):
         print(f"  {s:24s} {v / 3:8.2f} ms/step {100 * v / total:5.1f}%")
 
+    unattr = [
+        (k, v) for k, v in agg.items()
+        if not any(s in meta.get(k, "") for s in SCOPES)
+    ]
+    if unattr:
+        print("\ntop unattributed ops:")
+        for k, v in sorted(unattr, key=lambda kv: -kv[1])[:10]:
+            print(f"  {k[:40]:40s} {v / 3:8.2f} ms/step  {meta.get(k, '')[:70]}")
+
     # rollup by op family: which phase owns the time
     cats = defaultdict(float)
     for k, v in agg.items():
