@@ -59,6 +59,29 @@ def _apply_norm(x, p, kind, gn_groups=32):
     return frozen_bn(x, p)
 
 
+def conv_norm(x, pc, pn, kind, gn_groups, stride=1, padding=0, dilation=1,
+              groups=1, compute_dtype=jnp.bfloat16):
+    """conv followed by the stage norm; for frozen BN the affine is folded
+    into the conv weights (y = conv(x, w*s) + t with s = scale*rsqrt(var),
+    t = bias - mean*s — identical algebra to reference FrozenBatchNorm2d,
+    layers/batch_norm.py:27-31). Folding removes a full-activation
+    elementwise pass per conv from both the forward epilogue and the
+    backward (the bn cotangent g*s), and lets XLA fuse relu/residual adds
+    straight onto the conv output."""
+    if kind != "bn":
+        return _apply_norm(
+            conv2d(x, pc, stride=stride, padding=padding, dilation=dilation,
+                   groups=groups, compute_dtype=compute_dtype),
+            pn, kind, gn_groups,
+        )
+    s = lax.stop_gradient(pn["scale"] * lax.rsqrt(pn["var"]))
+    t = lax.stop_gradient(pn["bias"] - pn["mean"] * s)
+    folded = {"w": pc["w"] * s, "b": t}
+    return conv2d(x, folded, stride=stride, padding=padding,
+                  dilation=dilation, groups=groups,
+                  compute_dtype=compute_dtype)
+
+
 def init_bottleneck(key, cin, bottleneck_channels, cout, num_groups, norm_kind,
                     dcn=None):
     keys = jax.random.split(key, 5)
@@ -95,8 +118,8 @@ def apply_bottleneck(
     compute_dtype, dcn=None,
 ):
     s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
-    out = conv2d(x, p["conv1"], stride=s1, padding=0, compute_dtype=compute_dtype)
-    out = relu(_apply_norm(out, p["bn1"], norm_kind, gn_groups))
+    out = relu(conv_norm(x, p["conv1"], p["bn1"], norm_kind, gn_groups,
+                         stride=s1, padding=0, compute_dtype=compute_dtype))
     if dcn is not None and "conv2_offset" in p:
         from ..ops.deform_conv import deform_conv2d
 
@@ -116,20 +139,21 @@ def apply_bottleneck(
             padding=dilation, dilation=dilation, groups=num_groups,
             deformable_groups=g, compute_dtype=compute_dtype,
         ).astype(compute_dtype)
+        out = _apply_norm(out, p["bn2"], norm_kind, gn_groups)
     else:
-        out = conv2d(
-            out, p["conv2"], stride=s2, padding=dilation, dilation=dilation,
-            groups=num_groups, compute_dtype=compute_dtype,
-        )
-    out = relu(_apply_norm(out, p["bn2"], norm_kind, gn_groups))
-    out = conv2d(out, p["conv3"], padding=0, compute_dtype=compute_dtype)
-    out = _apply_norm(out, p["bn3"], norm_kind, gn_groups)
-    if "downsample" in p:
-        identity = conv2d(
-            x, p["downsample"]["conv"], stride=stride, padding=0,
+        out = conv_norm(
+            out, p["conv2"], p["bn2"], norm_kind, gn_groups, stride=s2,
+            padding=dilation, dilation=dilation, groups=num_groups,
             compute_dtype=compute_dtype,
         )
-        identity = _apply_norm(identity, p["downsample"]["bn"], norm_kind, gn_groups)
+    out = relu(out)
+    out = conv_norm(out, p["conv3"], p["bn3"], norm_kind, gn_groups,
+                    padding=0, compute_dtype=compute_dtype)
+    if "downsample" in p:
+        identity = conv_norm(
+            x, p["downsample"]["conv"], p["downsample"]["bn"], norm_kind,
+            gn_groups, stride=stride, padding=0, compute_dtype=compute_dtype,
+        )
     else:
         identity = x
     return relu(out + identity)
@@ -231,6 +255,13 @@ def _stem_conv_s2d(x, p, compute_dtype):
 
 def apply_stem(p, x, norm_kind, gn_groups, compute_dtype):
     c = p["conv1"]
+    bias = None
+    if norm_kind == "bn" and "b" not in c:
+        # fold the frozen-BN affine into the stem conv (see conv_norm)
+        bn = p["bn1"]
+        s = lax.stop_gradient(bn["scale"] * lax.rsqrt(bn["var"]))
+        bias = lax.stop_gradient(bn["bias"] - bn["mean"] * s)
+        c = {"w": c["w"] * s}
     if (
         c["w"].shape[:2] == (7, 7)
         and x.shape[1] % 2 == 0
@@ -240,7 +271,10 @@ def apply_stem(p, x, norm_kind, gn_groups, compute_dtype):
         x = _stem_conv_s2d(x, c, compute_dtype)
     else:
         x = conv2d(x, c, stride=2, padding=3, compute_dtype=compute_dtype)
-    x = relu(_apply_norm(x, p["bn1"], norm_kind, gn_groups))
+    if bias is not None:
+        x = relu(x + bias.astype(x.dtype))
+    else:
+        x = relu(_apply_norm(x, p["bn1"], norm_kind, gn_groups))
     return max_pool2d(x, window=3, stride=2, padding=1)
 
 
