@@ -571,11 +571,13 @@ def _bwd_kernel(svalid_ref, sfirst_ref, swid_ref, slot_ref, wlvl_ref, wb_ref,
 
             @pl.when(sfirst_ref[sf] == 1)
             def _():
-                acc_ref[:, :, :] = dpatch
+                acc_ref[:, :, :] = dpatch.astype(acc_ref.dtype)
 
             @pl.when(sfirst_ref[sf] == 0)
             def _():
-                acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
+                acc_ref[:, :, :] = (
+                    acc_ref[:, :, :] + dpatch.astype(acc_ref.dtype)
+                )
 
     # last program flushes the final window (and drains its own write)
     @pl.when(i == nblocks - 1)
@@ -628,7 +630,10 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, pc, dout, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((m, PATCH_Y), jnp.float32),
             pltpu.VMEM((m, PATCH_W, c), mm_dtype),
-            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
+            # window accumulator in the compute dtype: the gradient buffers
+            # land in mm_dtype anyway, and bf16 halves the per-ROI VMEM
+            # accumulate traffic (exact f32 path preserved when mm_dtype=f32)
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.SemaphoreType.DMA,
@@ -694,11 +699,11 @@ def _roi_bwd_kernel(perm_ref, rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref,
 
     @pl.when(rnew_ref[i] == 1)
     def _():
-        acc_ref[:, :, :] = dpatch
+        acc_ref[:, :, :] = dpatch.astype(acc_ref.dtype)
 
     @pl.when(rnew_ref[i] == 0)
     def _():
-        acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch
+        acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch.astype(acc_ref.dtype)
 
     # last program flushes the final window (and drains its own write)
     @pl.when(i == r_total - 1)
@@ -740,7 +745,8 @@ def _roi_align_bwd_roi(pcfg, p, num_levels, shapes, pc, dout,
         ),
         scratch_shapes=[
             pltpu.VMEM((p, PATCH_W, c), mm_dtype),
-            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
+            # window accumulator in the compute dtype (see _roi_align_bwd)
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.SemaphoreType.DMA,
