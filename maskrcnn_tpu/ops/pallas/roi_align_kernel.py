@@ -630,10 +630,13 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, pc, dout, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((m, PATCH_Y), jnp.float32),
             pltpu.VMEM((m, PATCH_W, c), mm_dtype),
-            # window accumulator in the compute dtype: the gradient buffers
-            # land in mm_dtype anyway, and bf16 halves the per-ROI VMEM
-            # accumulate traffic (exact f32 path preserved when mm_dtype=f32)
-            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            # window accumulator stays f32 regardless of compute dtype:
+            # training ROIs cluster (~10/window avg, up to hundreds), and a
+            # bf16 chain-sum swamps ~N*2^-9 of the signal. One rounding to
+            # the buffer dtype happens at the RMW flush, matching the f32
+            # atomicAdd accumulation of the reference CUDA backward
+            # (csrc/cuda/ROIAlign_cuda.cu).
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.SemaphoreType.DMA,
@@ -745,8 +748,9 @@ def _roi_align_bwd_roi(pcfg, p, num_levels, shapes, pc, dout,
         ),
         scratch_shapes=[
             pltpu.VMEM((p, PATCH_W, c), mm_dtype),
-            # window accumulator in the compute dtype (see _roi_align_bwd)
-            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            # window accumulator kept f32 (see _roi_align_bwd: exact
+            # accumulation, single rounding at the RMW flush)
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
             pltpu.SemaphoreType.DMA,

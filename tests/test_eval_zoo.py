@@ -63,7 +63,16 @@ def _run(tmp_path, expected):
     ]
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # hermetic CPU subprocess
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["PYTHONPATH"] = os.pathsep.join([REPO, env.get("PYTHONPATH", "")])
+    # share the suite's persistent XLA compile cache (same as test_cli.py)
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "MASKRCNN_TPU_TEST_CACHE",
+        os.path.expanduser("~/.cache/maskrcnn_tpu_xla"),
+    )
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
     return subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=1200
     )

@@ -209,8 +209,17 @@ def test_multichip_dryrun_fullsize():
             os.environ,
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            # the ~45-min cold CPU compile of the flagship-shaped program
+            # must hit the suite's persistent cache on re-runs (test_cli.py
+            # uses the same cache for its subprocesses)
+            JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                "MASKRCNN_TPU_TEST_CACHE",
+                os.path.expanduser("~/.cache/maskrcnn_tpu_xla"),
+            ),
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1.0",
+            JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0",
         ).items() if k != "PALLAS_AXON_POOL_IPS"},
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=4800,
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     assert "full-size) OK on 8 devices" in r.stdout, r.stdout[-2000:]
