@@ -88,9 +88,16 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg,
     if backend == "pallas_train":
         from ..ops.pallas.roi_align_kernel import make_trainable_roi_align
 
-        fn = make_trainable_roi_align(
-            pcfg, compute_dtype,
-            bwd_impl=os.environ.get("MASKRCNN_POOLER_BWD", "roi"))
+        # bwd_impl choice, measured on v5e (tools/bench_pooler.py + bench.py):
+        # "roi" (per-ROI grid, window-merged RMW) is the end-to-end default.
+        # "chunk" (q window-aligned ROIs per program, one stacked MXU
+        # contraction) wins the microbenchmark on tightly clustered ROIs
+        # (15.2 vs 22.7 ms, p=7 r=4096) but LOSES end-to-end (51.3 vs 54.7
+        # img/s): real sampled training ROIs spread across windows/levels,
+        # so chunks straddle window boundaries and fall back to the per-ROI
+        # path while still paying the layout-prep gathers. Kept as opt-in.
+        impl = os.environ.get("MASKRCNN_POOLER_BWD", "roi")
+        fn = make_trainable_roi_align(pcfg, compute_dtype, bwd_impl=impl)
         return fn(tuple(features), boxes, batch_idx)
     ph, pw = pcfg.output_size
     s = pcfg.adaptive_max if pcfg.adaptive else pcfg.sampling_ratio

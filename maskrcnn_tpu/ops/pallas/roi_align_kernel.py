@@ -660,6 +660,209 @@ def _roi_align_bwd(pcfg, p, num_levels, shapes, pc, dout, interpret=False,
     return grads
 
 
+def _chunk_layout(pc, q, dout):
+    """Window-aligned chunk layout for the chunked backward (bwd_impl="chunk").
+
+    Re-lays the window-sorted ROI sequence so that (almost) every q-row
+    chunk lies entirely inside ONE window: each window's run is padded with
+    zero-weight rows to a multiple of q, spending a static pad budget of
+    rp/2 rows. Windows past the budget (only hit when ROIs do NOT cluster,
+    e.g. uniform eval boxes) stay unpadded and their chunks fall back to the
+    per-ROI path in-kernel — correct, just slower. A pure chunk contracts
+    its q ROIs' cotangents in ONE unmasked stacked MXU matmul and touches
+    the window accumulator once, amortizing the per-program overhead that
+    dominates the per-ROI-grid backward (~3.3 us/ROI measured at 4096
+    box-head ROIs on v5e, vs ~2 flops-bound us per 8-ROI chunk)."""
+    rwid, rnew = pc["rwid"], pc["rnew"]
+    rp = rwid.shape[0]
+    pad_budget = -(-(rp // 2) // q) * q
+    s_total = rp + pad_budget
+
+    n_w = jnp.zeros((rp,), jnp.int32).at[rwid].add(1)
+    want = (-n_w) % q
+    cum_want = jnp.cumsum(want)
+    allowed = jnp.where(cum_want <= pad_budget, want, 0)
+    cum_allowed = jnp.cumsum(allowed).astype(jnp.int32)
+    prev_cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cum_allowed[:-1]]
+    )
+    newpos = jnp.arange(rp, dtype=jnp.int32) + prev_cum[rwid]
+
+    hit = jnp.full((s_total,), -1, jnp.int32).at[newpos].set(
+        jnp.arange(rp, dtype=jnp.int32)
+    )
+    # forward-fill: pad rows replicate the last real row of their window
+    src = jax.lax.associative_scan(jnp.maximum, hit)
+    is_real = (hit >= 0)
+    src = jnp.maximum(src, 0)
+
+    take = lambda a: jnp.take(a, src, axis=0)
+    zero_pad = is_real.astype(pc["roww"].dtype)[:, None, None]
+    rnew_pad = jnp.zeros((s_total,), jnp.int32).at[newpos].set(rnew)
+    nchunk = s_total // q
+    pure = 1 - rnew_pad.reshape(nchunk, q)[:, 1:].max(axis=1)
+    return dict(
+        rnew=rnew_pad,
+        rwid=take(rwid), lvl=take(pc["lvl"]), b=take(pc["b"]),
+        y0=take(pc["y0"]), x0=take(pc["x0"]),
+        pure=pure.astype(jnp.int32),
+        roww=take(pc["roww"]) * zero_pad,
+        colw=take(pc["colw"]) * zero_pad,
+        dout=jnp.take(dout, jnp.take(pc["perm_pad"], src), axis=0),
+        s_total=s_total,
+    )
+
+
+def _chunk_bwd_kernel(rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref, x0_ref,
+                      pure_ref, nwm1_ref, roww_ref, colw_ref, dout_ref, *rest,
+                      num_levels, p, c, q, nprog, mm_dtype):
+    """Chunked backward: q window-aligned ROIs per program. Stage 1
+    column-unmixes all q cotangents into the stacked T; a pure chunk (single
+    window) then row-unmixes + sums them in ONE [q*p, PATCH_Y]^T x
+    [q*p, PATCH_W*C] MXU contraction and one accumulator op; an impure chunk
+    (window boundary inside, or unpadded overflow windows) runs the per-ROI
+    sequence with identical numerics."""
+    zin_refs = rest[:num_levels]
+    grad_refs = rest[num_levels:2 * num_levels]
+    t_ref, acc_ref, tmp0, tmp1, sem_r, sem_w = rest[2 * num_levels:]
+    tmp_refs = (tmp0, tmp1)
+    del zin_refs  # same memory as grad_refs via input_output_aliases
+
+    i = pl.program_id(0)
+    base = i * q
+
+    for k in range(q):
+        colw_t = colw_ref[k].T.astype(mm_dtype)  # [PATCH_W, P]
+        dout_k = dout_ref[k].astype(mm_dtype)  # [P, P, C]
+        for pi in range(p):
+            t_ref[k * p + pi] = jnp.dot(
+                colw_t, dout_k[pi], preferred_element_type=jnp.float32
+            ).astype(mm_dtype)
+
+    def flush_prev(g):
+        # flush the window that ends just before row g (g's window - 1)
+        wp = rwid_ref[g] - 1
+        _window_rmw_add(
+            grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+            lvl_ref[g - 1], b_ref[g - 1], y0_ref[g - 1],
+            pl.multiple_of(x0_ref[g - 1], 8),
+            par=wp % 2, first=(wp == 0), last=(wp < 0),
+        )
+
+    @pl.when(pure_ref[i] == 1)
+    def _():
+        @pl.when((i > 0) & (rnew_ref[base] == 1))
+        def _():
+            flush_prev(base)
+
+        w_stack = roww_ref[:, :, :].reshape(q * p, PATCH_Y).astype(mm_dtype)
+        dpatch = jax.lax.dot_general(
+            w_stack, t_ref[:, :, :].reshape(q * p, PATCH_W * c),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(PATCH_Y, PATCH_W, c)
+
+        @pl.when(rnew_ref[base] == 1)
+        def _():
+            acc_ref[:, :, :] = dpatch.astype(acc_ref.dtype)
+
+        @pl.when(rnew_ref[base] == 0)
+        def _():
+            acc_ref[:, :, :] = acc_ref[:, :, :] + dpatch.astype(acc_ref.dtype)
+
+    @pl.when(pure_ref[i] == 0)
+    def _():
+        for k in range(q):
+            g = base + k
+            dp_k = jax.lax.dot_general(
+                roww_ref[k].astype(mm_dtype),
+                t_ref[k * p:(k + 1) * p].reshape(p, PATCH_W * c),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(PATCH_Y, PATCH_W, c)
+
+            if k == 0:
+                cond = (i > 0) & (rnew_ref[g] == 1)
+            else:
+                cond = rnew_ref[g] == 1
+
+            @pl.when(cond)
+            def _(g=g):
+                flush_prev(g)
+
+            @pl.when(rnew_ref[g] == 1)
+            def _(dp_k=dp_k):
+                acc_ref[:, :, :] = dp_k.astype(acc_ref.dtype)
+
+            @pl.when(rnew_ref[g] == 0)
+            def _(dp_k=dp_k):
+                acc_ref[:, :, :] = acc_ref[:, :, :] + dp_k.astype(acc_ref.dtype)
+
+    @pl.when(i == nprog - 1)
+    def _():
+        wl = nwm1_ref[0]
+        last = nprog * q - 1
+        _window_rmw_add(
+            grad_refs, acc_ref, tmp_refs, sem_r, sem_w, num_levels,
+            lvl_ref[last], b_ref[last], y0_ref[last],
+            pl.multiple_of(x0_ref[last], 8),
+            par=wl % 2, first=(wl == 0), last=(wl >= 0),
+        )
+
+
+def _roi_align_bwd_chunk(pcfg, p, num_levels, shapes, pc, dout,
+                         interpret=False, mm_dtype=jnp.float32, q=8):
+    """Driver for the chunked backward (bwd_impl="chunk")."""
+    c = shapes[0][-1]
+    cl = _chunk_layout(pc, q, dout)
+    s_total = cl["s_total"]
+    nprog = s_total // q
+    zeros = [jnp.zeros(s, mm_dtype) for s in shapes]
+
+    kernel = functools.partial(
+        _chunk_bwd_kernel, num_levels=num_levels, p=p, c=c, q=q,
+        nprog=nprog, mm_dtype=mm_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((q, p, PATCH_Y), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, p, PATCH_W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in shapes
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q * p, PATCH_W, c), mm_dtype),
+            # window accumulator kept f32 (see _roi_align_bwd)
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), jnp.float32),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            pltpu.VMEM((PATCH_Y, PATCH_W, c), mm_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(s, mm_dtype) for s in shapes),
+        input_output_aliases={
+            11 + i: i for i in range(num_levels)  # 8 prefetch + 3 vector ins
+        },
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(cl["rnew"], cl["rwid"], cl["lvl"], cl["b"], cl["y0"], cl["x0"],
+      cl["pure"], pc["nwm1"], cl["roww"], cl["colw"], cl["dout"], *zeros)
+    return grads
+
+
 def _roi_bwd_kernel(perm_ref, rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref,
                     x0_ref, nwm1_ref, roww_ref, colw_ref, dout_ref, *rest,
                     num_levels, p, c, r_total, mm_dtype):
@@ -893,8 +1096,10 @@ def make_trainable_roi_align(pcfg, compute_dtype=jnp.bfloat16, bwd_impl="rmw",
             padded_shapes = tuple(
                 (s[0],) + _padded_hw(s[1], s[2]) + (s[3],) for s in shapes
             )
-            impl = (_roi_align_bwd_roi if bwd_impl == "roi"
-                    else _roi_align_bwd)
+            impl = {
+                "roi": _roi_align_bwd_roi,
+                "chunk": _roi_align_bwd_chunk,
+            }.get(bwd_impl, _roi_align_bwd)
             grads = impl(pcfg, p, len(shapes), padded_shapes, res,
                          dout, interpret=interpret, mm_dtype=compute_dtype)
             dfeats = tuple(

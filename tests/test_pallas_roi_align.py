@@ -36,7 +36,7 @@ def test_pallas_pooler_matches_gather_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
-@pytest.mark.parametrize("bwd_impl", ["rmw", "roi", "scatter"])
+@pytest.mark.parametrize("bwd_impl", ["rmw", "roi", "scatter", "chunk"])
 def test_pallas_trainable_pooler_grads_match_gather(bwd_impl):
     """The custom_vjp backward (window-merged RMW kernel / XLA windowed
     scatter) must produce the same feature gradients as autodiff through
@@ -69,7 +69,7 @@ def test_pallas_trainable_pooler_grads_match_gather(bwd_impl):
         )
 
 
-@pytest.mark.parametrize("bwd_impl", ["rmw", "roi"])
+@pytest.mark.parametrize("bwd_impl", ["rmw", "roi", "chunk"])
 def test_pallas_pooler_bf16_grads_bounded_error(bwd_impl):
     """bf16 compute path (the default training config): feature gradients
     must stay close to the exact f32 gather-autodiff gradients even when
