@@ -24,13 +24,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128
-LANES = 8
+LANES = 8          # minimum lane-group width (sublane multiple)
+MAX_LANES = 32     # widest lane group: the serial in-block loop costs the
+                   # same per iteration whether it operates on 8 or 32
+                   # sublanes (VPU tiles), so carrying more independent
+                   # problems per grid row divides the total serial steps
 MAX_SWEEP_CHUNK = 512  # suppression sweep column tile ([LANES, BLOCK, C] f32)
 TO_REMOVE = 1.0
+_UNROLL = 4        # serial-loop unroll (loop-control overhead amortization)
 
 
 def _nms_kernel(boxes_ref, keep_in_ref, keep_ref, iou_scratch, kb_scratch,
-                *, n, thresh, chunk):
+                *, n, thresh, chunk, lanes):
     bi = pl.program_id(1)
     start = pl.multiple_of(bi * BLOCK, BLOCK)
 
@@ -61,9 +66,9 @@ def _nms_kernel(boxes_ref, keep_in_ref, keep_ref, iou_scratch, kb_scratch,
         return jnp.where(union > 0, inter / union, 0.0)
 
     tile = iou(bx1, by1, bx2, by2, bx1, by1, bx2, by2)  # [L, T, T]
-    iou_scratch[:, :] = tile.reshape(LANES, BLOCK * BLOCK)
+    iou_scratch[:, :] = tile.reshape(lanes, BLOCK * BLOCK)
     kb_scratch[:, :] = keep_ref[:, pl.ds(start, BLOCK)]  # [L, T]
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, BLOCK), 1)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (lanes, BLOCK), 1)
 
     def body(i, _):
         kb = kb_scratch[:, :]  # [L, T]
@@ -73,7 +78,7 @@ def _nms_kernel(boxes_ref, keep_in_ref, keep_ref, iou_scratch, kb_scratch,
         kb_scratch[:, :] = jnp.where(sup, 0, kb)
         return 0
 
-    jax.lax.fori_loop(0, BLOCK, body, 0)
+    jax.lax.fori_loop(0, BLOCK, body, 0, unroll=_UNROLL)
     keep_blk = kb_scratch[:, :]
     keep_ref[:, pl.ds(start, BLOCK)] = keep_blk
 
@@ -81,7 +86,7 @@ def _nms_kernel(boxes_ref, keep_in_ref, keep_ref, iou_scratch, kb_scratch,
     # in column chunks to bound VMEM ([L, T, CHUNK] tiles). float arithmetic
     # (max of kept*iou) avoids 1D-bool reshapes.
     keptf = keep_blk.astype(jnp.float32)[:, :, None]
-    chunk_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, chunk), 1)
+    chunk_idx = jax.lax.broadcasted_iota(jnp.int32, (lanes, chunk), 1)
 
     def sweep(ci, _):
         off = pl.multiple_of(ci * chunk, chunk)
@@ -108,9 +113,14 @@ def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
     """
     g, n, _ = boxes.shape
     n_pad = -(-n // BLOCK) * BLOCK
-    chunk = min(MAX_SWEEP_CHUNK, n_pad)
+    # widest lane group that the problem fills: the serial in-block loop
+    # runs nb*BLOCK iterations per lane-group ROW, so fewer rows = fewer
+    # total serial steps. The sweep chunk shrinks with lane width to hold
+    # the [lanes, BLOCK, chunk] IoU tile budget constant.
+    lanes = min(MAX_LANES, -(-g // LANES) * LANES)
+    chunk = min(max(MAX_SWEEP_CHUNK * LANES // lanes, BLOCK), n_pad)
     n_pad = -(-n_pad // chunk) * chunk  # chunk must divide the padded width
-    g_pad = -(-g // LANES) * LANES
+    g_pad = -(-g // lanes) * lanes
     if n_pad != n or g_pad != g:
         boxes = jnp.pad(boxes, ((0, g_pad - g), (0, n_pad - n), (0, 0)))
         valid = jnp.pad(valid, ((0, g_pad - g), (0, n_pad - n)))
@@ -127,25 +137,29 @@ def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
     boxes_t = jnp.swapaxes(boxes.astype(jnp.float32), 1, 2)  # [G, 4, N]
 
     kernel = functools.partial(
-        _nms_kernel, n=n_pad, thresh=float(iou_threshold), chunk=chunk
+        _nms_kernel, n=n_pad, thresh=float(iou_threshold), chunk=chunk,
+        lanes=lanes,
     )
     keep0 = valid.astype(jnp.int32)
     keep = pl.pallas_call(
         kernel,
-        grid=(g_pad // LANES, nb),
+        grid=(g_pad // lanes, nb),
         in_specs=[
-            pl.BlockSpec((LANES, 4, n_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((lanes, 4, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, n_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((lanes, n_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANES, n_pad), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((lanes, n_pad), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((LANES, BLOCK * BLOCK), jnp.float32),
-            pltpu.VMEM((LANES, BLOCK), jnp.int32),
+            pltpu.VMEM((lanes, BLOCK * BLOCK), jnp.float32),
+            pltpu.VMEM((lanes, BLOCK), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(boxes_t, keep0)
     return (keep > 0)[:g, :n]

@@ -865,10 +865,20 @@ def _roi_align_bwd_chunk(pcfg, p, num_levels, shapes, pc, dout,
 
 def _roi_bwd_kernel(perm_ref, rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref,
                     x0_ref, nwm1_ref, roww_ref, colw_ref, dout_ref, *rest,
-                    num_levels, p, c, r_total, mm_dtype):
+                    num_levels, p, c, r_total, mm_dtype, s1_mode="dots"):
     """Per-ROI backward (one grid program per sorted ROI): both weight
     contractions as MXU dots from the tiny [P, P, C] cotangent block, group
-    dPatch accumulated in VMEM, one pipelined RMW per unique window."""
+    dPatch accumulated in VMEM, one pipelined RMW per unique window.
+
+    s1_mode selects how the column-unmix stage is issued (measured on v5e:
+    the per-dot ISSUE cost ~0.3 us dominates these tiny contractions, so
+    fewer issues beats fewer FLOPs):
+      "dots"      p sequential [PATCH_W, P] @ [P, C] dots (one per output row)
+      "bdot"      one batched dot_general over the P output rows
+      "blockdiag" one plain MXU dot against a precomputed block-diagonal
+                  [P*PATCH_W, P*q8] column-weight matrix (colw_ref carries
+                  colwB, dout_ref carries the q8-padded cotangent)
+    """
     zin_refs = rest[:num_levels]              # aliased zero-init inputs
     grad_refs = rest[num_levels:2 * num_levels]  # outputs (aliased)
     t_ref, acc_ref, tmp0, tmp1, sem_r, sem_w = rest[2 * num_levels:]
@@ -878,16 +888,36 @@ def _roi_bwd_kernel(perm_ref, rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref,
     i = pl.program_id(0)
 
     roww = roww_ref[0].astype(mm_dtype)  # [P, PATCH_Y]
-    colw_t = colw_ref[0].T.astype(mm_dtype)  # [PATCH_W, P]
-    dout = dout_ref[0].astype(mm_dtype)  # [P, P, C]
-    # stage 1 (column-unmix): dA[pi, x, ch] = sum_q colw[q, x] dout[pi, q, ch]
-    for pi in range(p):
-        t_ref[pi] = jnp.dot(
-            colw_t, dout[pi], preferred_element_type=jnp.float32
-        ).astype(mm_dtype)
+    if s1_mode == "blockdiag":
+        q8 = dout_ref.shape[2]
+        t2 = jnp.dot(
+            colw_ref[0].astype(mm_dtype),              # [P*PATCH_W, P*q8]
+            dout_ref[0].reshape(p * q8, c).astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(mm_dtype)                             # [(pi, x), C]
+        t = t2.reshape(p, PATCH_W * c)
+    elif s1_mode == "bdot":
+        colw_b = jnp.broadcast_to(
+            colw_ref[0].T.astype(mm_dtype)[None], (p, PATCH_W, p)
+        )
+        t3 = jax.lax.dot_general(
+            colw_b, dout_ref[0].astype(mm_dtype),      # [P, PATCH_W, P]x[P, P, C]
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(mm_dtype)                             # [P, PATCH_W, C]
+        t = t3.reshape(p, PATCH_W * c)
+    else:
+        colw_t = colw_ref[0].T.astype(mm_dtype)  # [PATCH_W, P]
+        dout = dout_ref[0].astype(mm_dtype)  # [P, P, C]
+        # stage 1 (column-unmix): dA[pi,x,ch] = sum_q colw[q,x] dout[pi,q,ch]
+        for pi in range(p):
+            t_ref[pi] = jnp.dot(
+                colw_t, dout[pi], preferred_element_type=jnp.float32
+            ).astype(mm_dtype)
+        t = t_ref[:, :, :].reshape(p, PATCH_W * c)
     # stage 2 (row-unmix): dPatch = RowW^T @ dA (contract P; avoids transpose)
     dpatch = jax.lax.dot_general(
-        roww, t_ref[:, :, :].reshape(p, PATCH_W * c),
+        roww, t,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(PATCH_Y, PATCH_W, c)
@@ -923,15 +953,46 @@ def _roi_bwd_kernel(perm_ref, rnew_ref, rwid_ref, lvl_ref, b_ref, y0_ref,
 
 
 def _roi_align_bwd_roi(pcfg, p, num_levels, shapes, pc, dout,
-                       interpret=False, mm_dtype=jnp.float32):
+                       interpret=False, mm_dtype=jnp.float32, s1_mode=None):
     """Per-ROI-grid variant of _roi_align_bwd (bwd_impl="roi")."""
     c = shapes[0][-1]
     rp = pc["svalid"].shape[0]
     zeros = [jnp.zeros(s, mm_dtype) for s in shapes]
+    if s1_mode is None:
+        s1_mode = _os.environ.get("MASKRCNN_POOLER_S1", "dots")
+
+    if s1_mode == "blockdiag":
+        # block-diagonal column weights: colwB[(pi,x),(pi2,q8)] =
+        # (pi==pi2) * colw[q,x], so the whole column-unmix is ONE plain
+        # [P*PATCH_W, P*q8] @ [P*q8, C] MXU dot per ROI
+        q8 = -(-p // 8) * 8
+        colw_s = pc["colw"].astype(mm_dtype)            # [rp, P, PATCH_W]
+        eye = jnp.eye(p, dtype=mm_dtype)
+        cb = jnp.einsum("ab,rqx->raxbq", eye, colw_s)   # [rp,P,X,P,q]
+        cb = jnp.pad(cb, ((0, 0), (0, 0), (0, 0), (0, 0), (0, q8 - p)))
+        colw_in = cb.reshape(rp, p * PATCH_W, p * q8)
+        dout_in = jnp.pad(
+            dout, ((0, 0), (0, 0), (0, q8 - p), (0, 0))
+        )                                               # [R, P, q8, C]
+        colw_spec = pl.BlockSpec((1, p * PATCH_W, p * q8),
+                                 lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        dout_spec = pl.BlockSpec((1, p, q8, c),
+                                 lambda i, perm, *_: (perm[i], 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        colw_in, dout_in = pc["colw"], dout
+        colw_spec = pl.BlockSpec((1, p, PATCH_W), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        # cotangents stay in original ROI order; the scalar-prefetched
+        # permutation steers the block fetch (no materialized gather)
+        dout_spec = pl.BlockSpec((1, p, p, c),
+                                 lambda i, perm, *_: (perm[i], 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _roi_bwd_kernel, num_levels=num_levels, p=p, c=c, r_total=rp,
-        mm_dtype=mm_dtype,
+        mm_dtype=mm_dtype, s1_mode=s1_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -939,12 +1000,8 @@ def _roi_align_bwd_roi(pcfg, p, num_levels, shapes, pc, dout,
         in_specs=[
             pl.BlockSpec((1, p, PATCH_Y), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, PATCH_W), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # cotangents stay in original ROI order; the scalar-prefetched
-            # permutation steers the block fetch (no materialized gather)
-            pl.BlockSpec((1, p, p, c), lambda i, perm, *_: (perm[i], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            colw_spec,
+            dout_spec,
         ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
         out_specs=tuple(
             pl.BlockSpec(memory_space=pl.ANY) for _ in shapes
@@ -972,7 +1029,7 @@ def _roi_align_bwd_roi(pcfg, p, num_levels, shapes, pc, dout,
         ),
         interpret=interpret,
     )(pc["perm_pad"], pc["rnew"], pc["rwid"], pc["lvl"], pc["b"], pc["y0"],
-      pc["x0"], pc["nwm1"], pc["roww"], pc["colw"], dout, *zeros)
+      pc["x0"], pc["nwm1"], pc["roww"], colw_in, dout_in, *zeros)
     return grads
 
 

@@ -46,3 +46,29 @@ def test_wrapper_with_padding_and_order_interpret():
         exp[nms_numpy(boxes[lane][:170], scores[lane][:170], 0.6)] = True
         np.testing.assert_array_equal(keep[lane][:170], exp[:170])
         assert not keep[lane][170:].any()
+
+
+def test_many_lanes_multirow_interpret():
+    """g=40 spans multiple lane-group rows at the widened MAX_LANES, with n
+    crossing BLOCK and sweep-chunk boundaries — every lane must still match
+    the sequential oracle exactly."""
+    rng = np.random.RandomState(2)
+    g, n = 40, 300
+    ctr = rng.uniform(0, 500, (g, n, 2))
+    wh = rng.uniform(5, 120, (g, n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(size=(g, n)).astype(np.float32)
+    valid = rng.rand(g, n) > 0.1
+    keep = np.asarray(
+        nms_mask_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+            interpret=True,
+        )
+    )
+    for lane in range(g):
+        v = valid[lane]
+        exp = np.zeros(n, bool)
+        idx = np.nonzero(v)[0]
+        kept = nms_numpy(boxes[lane][v], scores[lane][v], 0.5)
+        exp[idx[kept]] = True
+        np.testing.assert_array_equal(keep[lane], exp)
