@@ -31,7 +31,11 @@ MAX_LANES = 32     # widest lane group: the serial in-block loop costs the
                    # problems per grid row divides the total serial steps
 MAX_SWEEP_CHUNK = 512  # suppression sweep column tile ([LANES, BLOCK, C] f32)
 TO_REMOVE = 1.0
-_UNROLL = 4        # serial-loop unroll (loop-control overhead amortization)
+# NOTE: Mosaic's fori_loop lowering only supports unroll=1 or a full unroll
+# (unroll == num_steps); partial unrolls raise NotImplementedError on real
+# TPU (they do lower on the CPU backend, which is how unroll=4 slipped in).
+# Full 128-step unroll explodes compile time, so stay at 1.
+_UNROLL = 1
 
 
 def _nms_kernel(boxes_ref, keep_in_ref, keep_ref, iou_scratch, kb_scratch,

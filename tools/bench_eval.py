@@ -7,7 +7,10 @@ and reports wall img/s for the whole pipeline next to the model-only
 number, so the host-side cost is measured rather than assumed. The
 reference accounts its paste cost explicitly (+0.034 s/im, MODEL_ZOO.md:26).
 
-Run: python tools/bench_eval.py [NUM_IMAGES] (default 200)
+Run: python tools/bench_eval.py [NUM_IMAGES] [--size=800x1333] [--keypoint]
+(default 200 images at 800x1333 — the reference's real eval resolution;
+--keypoint switches to Keypoint R-CNN + OKS eval, which also accounts the
+heatmap device->host transfer)
 """
 
 import os
@@ -16,20 +19,34 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import numpy as np
 
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n_images = int(pos[0]) if pos else 200
+    size = (800, 1333)
+    for a in sys.argv[1:]:
+        if a.startswith("--size="):
+            size = tuple(int(v) for v in a.split("=", 1)[1].split("x"))
+    keypoint = "--keypoint" in sys.argv
 
     from synthetic_coco import make_synthetic_coco
 
     root = tempfile.mkdtemp(prefix="bench_eval_")
+    # ~7 instances/image matches COCO's mean; at 800x1333 the host paste
+    # cost (which scales with image area x instance count) is measured at
+    # the reference's own accounting conditions (MODEL_ZOO.md:26).
     img_dir, ann_file = make_synthetic_coco(
-        root, num_images=n_images, size=(427, 640), num_classes=80,
-        n_obj_range=(2, 8),
+        root, num_images=n_images, size=size,
+        num_classes=1 if keypoint else 80,
+        n_obj_range=(2, 14), keypoints=keypoint,
     )
 
     import jax
@@ -43,9 +60,10 @@ def main():
     from maskrcnn_tpu.utils.timer import Timer
 
     c = cfg.clone()
+    yaml = ("e2e_keypoint_rcnn_R_50_FPN_1x.yaml" if keypoint
+            else "e2e_mask_rcnn_R_50_FPN_1x.yaml")
     c.merge_from_file(
-        os.path.join(os.path.dirname(__file__), "..", "configs",
-                     "e2e_mask_rcnn_R_50_FPN_1x.yaml")
+        os.path.join(os.path.dirname(__file__), "..", "configs", yaml)
     )
     c.MODEL.WEIGHT = ""
     c.TEST.IMS_PER_BATCH = int(os.environ.get("BENCH_BATCH", "8"))
@@ -86,7 +104,8 @@ def main():
     _ = evaluate(
         dataset=loader.dataset, predictions=predictions,
         output_folder=None, box_only=False,
-        iou_types=("bbox", "segm"), expected_results=(),
+        iou_types=("bbox", "keypoints") if keypoint else ("bbox", "segm"),
+        expected_results=(),
         expected_results_sigma_tol=0,
     )
     t_eval = time.perf_counter() - t0
@@ -104,7 +123,9 @@ def main():
     import json
 
     print(json.dumps({
-        "metric": "mask_rcnn_eval_pipeline_images_per_sec",
+        "metric": ("keypoint_rcnn_eval_pipeline_images_per_sec" if keypoint
+                   else "mask_rcnn_eval_pipeline_images_per_sec"),
+        "size": "x".join(str(v) for v in size),
         "value": round(n / total, 2),
         "unit": "img/s",
         "model_only": round(model_ips, 2),

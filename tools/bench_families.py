@@ -13,18 +13,30 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
 
 import numpy as np
 
 import jax
 
+# (name, yaml, batch_override or None = CLI batch)
 CONFIGS = [
-    ("faster_rcnn_R_50_FPN", "configs/e2e_faster_rcnn_R_50_FPN_1x.yaml"),
-    ("keypoint_rcnn_R_50_FPN", "configs/e2e_keypoint_rcnn_R_50_FPN_1x.yaml"),
-    ("retinanet_R_50_FPN", "configs/retinanet/retinanet_R-50-FPN_1x.yaml"),
+    ("faster_rcnn_R_50_FPN", "configs/e2e_faster_rcnn_R_50_FPN_1x.yaml", None),
+    ("keypoint_rcnn_R_50_FPN", "configs/e2e_keypoint_rcnn_R_50_FPN_1x.yaml", None),
+    ("retinanet_R_50_FPN", "configs/retinanet/retinanet_R-50-FPN_1x.yaml", None),
     # The zoo's heaviest row (reference MODEL_ZOO.md:24,28): exercises
     # grouped convolution (num_groups=32, width_per_group=8).
-    ("mask_rcnn_X_101_32x8d_FPN", "configs/e2e_mask_rcnn_X_101_32x8d_FPN_1x.yaml"),
+    ("mask_rcnn_X_101_32x8d_FPN", "configs/e2e_mask_rcnn_X_101_32x8d_FPN_1x.yaml", None),
+    # C4 family (reference MODEL_ZOO.md:21,25): single-level res4 features +
+    # res5 box head; the reference trains it at 1 img/GPU.
+    ("faster_rcnn_R_50_C4", "configs/e2e_faster_rcnn_R_50_C4_1x.yaml", None),
+    ("mask_rcnn_R_50_C4", "configs/e2e_mask_rcnn_R_50_C4_1x.yaml", None),
+    # deformable-conv family (reference configs/dcn/): proves DCN *trains*
+    # at speed on TPU, not just applies.
+    ("mask_rcnn_dconv_R_50_FPN", "configs/dcn/e2e_mask_rcnn_dconv_R_50_FPN_1x.yaml", None),
 ]
 
 
@@ -89,17 +101,34 @@ def bench_one(name, yaml, b):
         params, opt_state, m = step(params, opt_state, batch, keys[i])
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
+
+    from maskrcnn_tpu.utils.flops import compiled_flops, mfu_fields
+
+    # fresh (undonated) pytrees for the lowering-only cost analysis
+    params2 = model.init(jax.random.PRNGKey(0))
+    flops = compiled_flops(
+        step, params2, tx.init(params2), batch, keys[0]
+    )
+    eff = mfu_fields(flops, dt)
     print(
-        "{:26s} {:7.1f} ms/step  {:6.2f} img/s/chip (batch {})".format(
-            name, dt * 1000, b / dt, b
-        )
+        "{:26s} {:7.1f} ms/step  {:6.2f} img/s/chip (batch {})  "
+        "TFLOP/s {:6.2f}  MFU {:5.1f}%".format(
+            name, dt * 1000, b / dt, b,
+            eff.get("tflops_per_sec", float("nan")),
+            100 * eff.get("mfu", float("nan")),
+        ),
+        flush=True,
     )
 
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    for name, yaml in CONFIGS:
-        bench_one(name, yaml, b)
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    b = int(pos[0]) if pos else 8
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    for name, yaml, b_over in CONFIGS:
+        if only and not any(s in name for s in only):
+            continue
+        bench_one(name, yaml, b_over or b)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
 
 import numpy as np
 import jax
@@ -76,6 +80,9 @@ def main():
     b = 8
     clustered = "--clustered" in sys.argv
     impls = ("roi", "rmw") if clustered else ("rmw", "scatter")
+    for a in sys.argv[1:]:
+        if a.startswith("--impls="):
+            impls = tuple(a.split("=", 1)[1].split(","))
 
     for name, r, p in [("box-head", b * 512, 7), ("mask-head", b * 128, 14)]:
         pcfg = PoolerConfig(p, (0.25, 0.125, 0.0625, 0.03125), 2)
