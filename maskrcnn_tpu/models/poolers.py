@@ -96,7 +96,10 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg,
         # img/s): real sampled training ROIs spread across windows/levels,
         # so chunks straddle window boundaries and fall back to the per-ROI
         # path while still paying the layout-prep gathers. Kept as opt-in.
-        impl = os.environ.get("MASKRCNN_POOLER_BWD", "roi")
+        impl = os.environ.get(
+            "MASKRCNN_POOLER_BWD_P%d" % pcfg.output_size[0],
+            os.environ.get("MASKRCNN_POOLER_BWD", "roi"),
+        )
         fn = make_trainable_roi_align(pcfg, compute_dtype, bwd_impl=impl)
         return fn(tuple(features), boxes, batch_idx)
     ph, pw = pcfg.output_size
