@@ -305,6 +305,13 @@ _C.TPU.KEYPOINT_ROI_CAP = 32
 # real positives; COCO averages ~7 instances/image, so 64 leaves ample
 # headroom. 0 disables compaction (full reference quota).
 _C.TPU.MASK_ROI_CAP = 64
+# Decode keypoints ON DEVICE during inference (fixed 4x bilinear upsample +
+# argmax, kh.heatmaps_to_keypoints) instead of shipping raw [B, D, 56, 56,
+# 17] heatmaps (~21 MB/image f32) to the host for the exact cv2-bicubic
+# decode. The host decode stays the default because it is bit-exact vs the
+# reference (keypoint_head/inference.py:40-98); flip this for
+# throughput-bound serving/eval where the device->host link dominates.
+_C.TPU.KEYPOINT_DECODE_ON_DEVICE = False
 # Normalize images on DEVICE instead of in the host loader: the pipeline
 # stays uint8 end-to-end (the reference is uint8 until after Resize too),
 # making host->device transfer and worker IPC 4x smaller and removing the

@@ -535,17 +535,25 @@ class GeneralizedRCNN:
                 det_flat, det_batch, self.kp_pooler, cfg, self.compute_dtype,
                 pooler_backend=pb,
             )
-            # raw heatmaps ride along so the host runs the exact cv2 bicubic
-            # decode (reference keypoint_head/inference.py:40-98); the
-            # engine always prefers them, so no on-device approximate decode
-            # is computed (it was dead work: R*17*(4H)^2 resize+softmax per
-            # batch whose output was never read). Callers needing a jit-only
-            # decode can run kh.heatmaps_to_keypoints on these heatmaps.
             d = detections["boxes"].shape[1]
             hh = kp_logits.shape[1]
-            detections["kp_heatmaps"] = kp_logits.astype(jnp.float32).reshape(
-                b, d, hh, hh, kp_logits.shape[-1]
-            )
+            if getattr(cfg.TPU, "KEYPOINT_DECODE_ON_DEVICE", False):
+                # throughput mode: decode on device (4x bilinear + argmax)
+                # and ship only [B, D, 17, 4] — the exact host decode would
+                # otherwise pull ~21 MB/image of raw heatmaps over PCIe/ICI
+                kps = kh.heatmaps_to_keypoints(
+                    kp_logits.astype(jnp.float32), det_flat
+                )
+                detections["keypoints"] = kps.reshape(b, d, -1, 4)
+            else:
+                # raw heatmaps ride along so the host runs the exact cv2
+                # bicubic decode (reference keypoint_head/inference.py:
+                # 40-98); the engine prefers decoded "keypoints" when
+                # present, else falls back to these heatmaps. No dead
+                # double-decode is computed either way.
+                detections["kp_heatmaps"] = kp_logits.astype(
+                    jnp.float32
+                ).reshape(b, d, hh, hh, kp_logits.shape[-1])
         return detections
 
 

@@ -15,9 +15,15 @@ import math
 
 import os
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.box_ops import TO_REMOVE
+
+# Chunk the gather pooler's ROI axis once the materialized sample tensor
+# would exceed this (see multilevel_roi_align); tests lower it to force the
+# chunked path on tiny shapes.
+_CHUNK_THRESHOLD_BYTES = 1 << 29  # 512 MB
 
 
 class PoolerConfig:
@@ -134,7 +140,51 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg,
     tbl_off = jnp.asarray(offsets, jnp.int32)
     tbl_scale = jnp.asarray(pcfg.scales, jnp.float32)
 
-    if len(features) == 1:
+    # The sample tensor is [R, ph*s, pw*s, C]. For the C4 adaptive path
+    # (s = bound up to 6, C = 1024) materializing it for the full ROI batch
+    # is tens of GB — chunk the ROI axis through lax.map so the peak
+    # transient stays bounded while every chunk runs the identical
+    # vectorized math (bit-identical outputs, just batched).
+    itemsize = jnp.zeros((), compute_dtype).dtype.itemsize
+    bytes_per_roi = (ph * s) * (pw * s) * c * itemsize
+    if r * bytes_per_roi > _CHUNK_THRESHOLD_BYTES:
+        chunk = max(1, _CHUNK_THRESHOLD_BYTES // (2 * bytes_per_roi))
+        chunk = 1 << (chunk.bit_length() - 1)  # power of two
+        r_pad = -(-r // chunk) * chunk
+        boxes_p = jnp.pad(boxes, ((0, r_pad - r), (0, 0)))
+        bidx_p = jnp.pad(batch_idx, (0, r_pad - r))
+        # jax.checkpoint: without it autodiff SAVES each step's sample-
+        # tensor residuals across the whole map (e.g. a [steps, chunk,
+        # 84, 84, 1024] mask stack — tens of GB, the very thing chunking
+        # exists to avoid); rematerializing the chunk's gathers in the
+        # backward costs one extra forward gather pass per chunk.
+        body = jax.checkpoint(
+            lambda bc: _pool_roi_block(
+                bc[0], bc[1], flat, tbl_h, tbl_w, tbl_off, tbl_scale,
+                pcfg, ph, pw, s, compute_dtype,
+            )
+        )
+        out = jax.lax.map(
+            body,
+            (
+                boxes_p.reshape(r_pad // chunk, chunk, 4),
+                bidx_p.reshape(r_pad // chunk, chunk),
+            ),
+        )
+        return out.reshape(r_pad, ph, pw, c)[:r]
+    return _pool_roi_block(
+        boxes, batch_idx, flat, tbl_h, tbl_w, tbl_off, tbl_scale,
+        pcfg, ph, pw, s, compute_dtype,
+    )
+
+
+def _pool_roi_block(boxes, batch_idx, flat, tbl_h, tbl_w, tbl_off, tbl_scale,
+                    pcfg, ph, pw, s, compute_dtype):
+    """Vectorized ROIAlign for one block of ROIs against the fused
+    level-concatenated feature buffer (see multilevel_roi_align)."""
+    r = boxes.shape[0]
+    c = flat.shape[-1]
+    if len(pcfg.scales) == 1:
         lvl = jnp.zeros((r,), jnp.int32)
     else:
         lvl = assign_levels(boxes, pcfg)

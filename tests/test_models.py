@@ -110,6 +110,46 @@ def test_build_and_infer(config):
     assert np.isfinite(boxes).all()
 
 
+def test_keypoint_on_device_decode():
+    """TPU.KEYPOINT_DECODE_ON_DEVICE=True returns decoded [B, D, 17, 4]
+    keypoints (x, y, 1, logit) instead of raw heatmaps, and the decoded
+    coordinates agree with running kh.heatmaps_to_keypoints on the default
+    path's heatmaps (same model, same input)."""
+    from maskrcnn_tpu.models.roi_heads import keypoint_head as kh
+
+    c = tiny(cfg.clone())
+    c.merge_from_file(
+        os.path.join(CONFIG_DIR, "e2e_keypoint_rcnn_R_50_FPN_1x.yaml")
+    )
+    c = tiny(c)
+    c.freeze()
+    model = build_detection_model(c)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = make_batch()
+    det_host = jax.jit(model.infer_forward)(params, batch)
+    assert "kp_heatmaps" in det_host and "keypoints" not in det_host
+
+    c2 = c.clone()
+    c2.defrost()
+    c2.TPU.KEYPOINT_DECODE_ON_DEVICE = True
+    c2.freeze()
+    model2 = build_detection_model(c2)
+    det_dev = jax.jit(model2.infer_forward)(params, batch)
+    assert "keypoints" in det_dev and "kp_heatmaps" not in det_dev
+    b, d = det_dev["boxes"].shape[:2]
+    assert det_dev["keypoints"].shape == (b, d, 17, 4)
+
+    hm = det_host["kp_heatmaps"]
+    boxes = det_host["boxes"].reshape(b * d, 4)
+    expect = kh.heatmaps_to_keypoints(
+        hm.reshape(b * d, hm.shape[2], hm.shape[3], hm.shape[4]), boxes
+    ).reshape(b, d, -1, 4)
+    np.testing.assert_allclose(
+        np.asarray(det_dev["keypoints"]), np.asarray(expect),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
 @pytest.mark.parametrize("config", ["e2e_mask_rcnn_R_50_FPN_1x.yaml"])
 def test_train_step_updates_params(config):
     from maskrcnn_tpu.engine.train_step import make_train_step

@@ -27,6 +27,58 @@ def _setup(c=128, r=24):
     return feats, pcfg, rois, bidx
 
 
+def test_gather_pooler_roi_chunking_identical():
+    """The ROI-chunked gather path (forced via a tiny threshold) must be
+    numerically equivalent to the direct vectorized path — same math per
+    chunk; XLA may fuse the lax.map body differently, so agreement is to
+    float32 ulp, not bitwise. This is the C4-train memory guard (a batch-8
+    adaptive C4 pooler would otherwise materialize a ~59 GB sample tensor).
+    Also checks grads agree through the lax.map."""
+    from maskrcnn_tpu.models import poolers as P
+
+    feats, pcfg, rois, bidx = _setup()
+    direct = multilevel_roi_align(feats, rois, bidx, pcfg, compute_dtype=jnp.float32)
+    old = P._CHUNK_THRESHOLD_BYTES
+    P._CHUNK_THRESHOLD_BYTES = 1024
+    try:
+        chunked = multilevel_roi_align(
+            feats, rois, bidx, pcfg, compute_dtype=jnp.float32
+        )
+        cot = jnp.asarray(
+            np.random.RandomState(1).randn(*direct.shape), jnp.float32
+        )
+        gc = jax.grad(
+            lambda fs: (multilevel_roi_align(
+                list(fs), rois, bidx, pcfg, compute_dtype=jnp.float32
+            ) * cot).sum()
+        )(feats)
+    finally:
+        P._CHUNK_THRESHOLD_BYTES = old
+    gd = jax.grad(
+        lambda fs: (multilevel_roi_align(
+            list(fs), rois, bidx, pcfg, compute_dtype=jnp.float32
+        ) * cot).sum()
+    )(feats)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(direct), rtol=1e-5, atol=1e-5
+    )
+    for a, b in zip(gc, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # adaptive single-level (the real C4 configuration), chunked vs direct
+    pcfg4 = PoolerConfig(7, (0.0625,), 0)
+    f4 = [feats[2]]
+    d4 = multilevel_roi_align(f4, rois, bidx, pcfg4, compute_dtype=jnp.float32)
+    P._CHUNK_THRESHOLD_BYTES = 1024
+    try:
+        c4 = multilevel_roi_align(f4, rois, bidx, pcfg4, compute_dtype=jnp.float32)
+    finally:
+        P._CHUNK_THRESHOLD_BYTES = old
+    np.testing.assert_allclose(
+        np.asarray(c4), np.asarray(d4), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_pallas_pooler_matches_gather_interpret():
     feats, pcfg, rois, bidx = _setup()
     ref = multilevel_roi_align(feats, rois, bidx, pcfg, compute_dtype=jnp.float32)

@@ -66,6 +66,10 @@ def main():
         os.path.join(os.path.dirname(__file__), "..", "configs", yaml)
     )
     c.MODEL.WEIGHT = ""
+    if keypoint and os.environ.get("BENCH_KP_DEVICE_DECODE", "0") == "1":
+        # throughput mode: decode keypoints on device (skips the ~21
+        # MB/image raw-heatmap device->host transfer; see TPU config docs)
+        c.TPU.KEYPOINT_DECODE_ON_DEVICE = True
     c.TEST.IMS_PER_BATCH = int(os.environ.get("BENCH_BATCH", "8"))
     c.DATALOADER.NUM_WORKERS = int(os.environ.get("BENCH_WORKERS", "0"))
     c.DATASETS.TEST = ("bench_synth",)

@@ -124,7 +124,11 @@ def bench_one(name, yaml, b):
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     b = int(pos[0]) if pos else 8
-    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    only = [
+        part
+        for a in sys.argv[1:] if a.startswith("--only=")
+        for part in a.split("=", 1)[1].split(",")
+    ]
     for name, yaml, b_over in CONFIGS:
         if only and not any(s in name for s in only):
             continue
