@@ -218,11 +218,12 @@ class GeneralizedRCNN:
         return "pallas_train" if is_train else "pallas"
 
     def _run_mask_extractor(self, params, features, boxes, batch_idx,
-                            pooler_backend="gather"):
+                            pooler_backend="gather", rois_per_image=None):
         if self.share_mask_fe:
             x = multilevel_roi_align(
                 self._box_features(features), boxes, batch_idx, self.box_pooler,
                 self.compute_dtype, backend=pooler_backend,
+                rois_per_image=rois_per_image,
             )
             x = bh.apply_box_feature_extractor(
                 params["roi_heads"]["box"]["feature_extractor"], x, self.cfg,
@@ -232,6 +233,7 @@ class GeneralizedRCNN:
         x = multilevel_roi_align(
             features[: len(self.mask_pooler.scales)], boxes, batch_idx,
             self.mask_pooler, self.compute_dtype, backend=pooler_backend,
+            rois_per_image=rois_per_image,
         )
         return mh.apply_mask_feature_extractor(
             params["roi_heads"]["mask"]["feature_extractor"], x, self.cfg,
@@ -367,6 +369,7 @@ class GeneralizedRCNN:
                 params["roi_heads"]["box"], self._box_features(features),
                 rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
                 pooler_backend=pb,
+                rois_per_image=targets["rois"].shape[1],
             )
         with jax.named_scope("box_loss"):
             cls_loss, box_loss = bh.box_head_loss(
@@ -491,6 +494,7 @@ class GeneralizedRCNN:
                 params["roi_heads"]["box"], self._box_features(features),
                 rois_flat, batch_idx, self.box_pooler, cfg, self.compute_dtype,
                 pooler_backend=pb,
+                rois_per_image=prop_boxes.shape[1],
             )
         b, n = prop_scores.shape
         c = class_logits.shape[-1]
@@ -510,7 +514,8 @@ class GeneralizedRCNN:
             det_flat, det_batch = _flatten_rois(detections["boxes"])
             with jax.named_scope("mask_head"):
                 x = self._run_mask_extractor(
-                    params, features, det_flat, det_batch, pooler_backend=pb
+                    params, features, det_flat, det_batch, pooler_backend=pb,
+                    rois_per_image=detections["boxes"].shape[1],
                 )
                 mask_logits = mh.apply_mask_predictor(
                     params["roi_heads"]["mask"]["predictor"], x, cfg,

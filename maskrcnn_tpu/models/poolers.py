@@ -61,8 +61,118 @@ def assign_levels(boxes, pcfg):
     return (target - pcfg.k_min).astype(jnp.int32)
 
 
+def _dense_axis_weights(coords, w, size, p, s):
+    """Dense separable ROIAlign weights over a full feature axis.
+
+    coords/w: [R, p*s] adaptive sample positions and weights along one axis
+    (see ops/roi_align.adaptive_axis_samples). Returns [R, p, size] where
+    out[r, i, y] is the total weight of feature row y in output bin i —
+    exactly the gather path's per-sample semantics (outside [-1, size]
+    zeroed, clamped bilinear split across floor/ceil rows, boundary snap)
+    summed per row. Separability: the 2D sample weight factorizes as
+    wy*wx and the (y, x) validity as y_ok * x_ok, so folding each axis's
+    validity into its own weight reproduces the joint zeroing."""
+    r, ps = coords.shape
+    outside = (coords < -1.0) | (coords > float(size))
+    y = jnp.clip(coords, 0.0, None)
+    y_low = jnp.minimum(y.astype(jnp.int32), size - 1)
+    y_high = jnp.minimum(y_low + 1, size - 1)
+    y = jnp.where(y_low >= size - 1, y_low.astype(y.dtype), y)
+    ly = y - y_low
+    hy = 1.0 - ly
+    w_eff = jnp.where(outside, 0.0, w)
+    rows = jnp.arange(size, dtype=jnp.int32)
+    dense = (
+        (w_eff * hy)[:, :, None] * (rows == y_low[:, :, None])
+        + (w_eff * ly)[:, :, None] * (rows == y_high[:, :, None])
+    )  # [R, ps, size]
+    return dense.reshape(r, p, s, size).sum(axis=2)
+
+
+def _c4_matmul_pool(feature, boxes, pcfg, k_per_image, s, compute_dtype):
+    """Single-level adaptive ROIAlign as batched MXU contractions.
+
+    The C4 train path pools R = B*512 ROIs at sampling_ratio=0 from ONE
+    res4 map. The exact-gather superset there costs 4 corner gathers of
+    [R, 84, 84, 1024] (~236 GB of gather traffic per step at batch 8 —
+    measured 8.7 s/step, MFU 1.2%). ROIAlign is separable, so against a
+    SINGLE feature map it is two dense matmuls instead:
+
+        A[b]   = RowW[b] @ F[b]        [K*P, H] @ [H, W*C]       (MXU)
+        out[b] = ColW[b] . A[b]        contract W per (b, roi)   (MXU)
+
+    with RowW/ColW the per-ROI dense bin weights over the FULL axis
+    (exact same per-sample semantics as the gather path — built by
+    _dense_axis_weights). ~630 GFLOP replaces ~236 GB of gather. ROI
+    chunking + jax.checkpoint bound the [*, P, W, C] intermediate.
+
+    Caller contract: boxes are per-image contiguous blocks of k_per_image
+    rows (image-major), as produced by detector._flatten_rois.
+    Reference semantics: ROIAlign_cuda.cu bilinear_interpolate +
+    poolers.py LevelMapper degenerate single-level case.
+    """
+    b, h, w, c = feature.shape
+    ph, pw = pcfg.output_size
+    r = boxes.shape[0]
+    assert r == b * k_per_image
+
+    from ..ops.roi_align import adaptive_axis_samples
+
+    scale = float(pcfg.scales[0])
+    rois = boxes.astype(jnp.float32) * scale
+    rw = jnp.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    rh = jnp.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    ys, wy = adaptive_axis_samples(rois[:, 1], rh / ph, ph, s)
+    xs, wx = adaptive_axis_samples(rois[:, 0], rw / pw, pw, s)
+    roww = _dense_axis_weights(ys, wy, h, ph, s).astype(compute_dtype)
+    colw = _dense_axis_weights(xs, wx, w, pw, s).astype(compute_dtype)
+
+    k = k_per_image
+    # chunk ROIs so the [B, kc, P, W, C] intermediate stays bounded
+    per_roi = b * ph * w * c * jnp.zeros((), compute_dtype).dtype.itemsize
+    kc = max(1, min(k, (_CHUNK_THRESHOLD_BYTES // 2) // per_roi))
+    while k % kc:
+        kc -= 1
+    f2 = feature.astype(compute_dtype).reshape(b, h, w * c)
+    roww_b = roww.reshape(b, k, ph, h)
+    colw_b = colw.reshape(b, k, pw, w)
+
+    def body(args):
+        wr, wc = args  # [B, kc, P, H], [B, kc, P, W]
+        a = jax.lax.dot_general(
+            wr.reshape(b, kc * ph, h), f2,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype).reshape(b, kc, ph, w, c)
+        out = jax.lax.dot_general(
+            wc, a,
+            dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)  # [B, kc, Pj, Pi, C]
+        return jnp.swapaxes(out, 2, 3)  # [B, kc, Pi, Pj, C]
+
+    if kc == k:
+        out = body((roww_b, colw_b))
+    else:
+        out = jax.lax.map(
+            jax.checkpoint(body),
+            (
+                jnp.moveaxis(
+                    roww_b.reshape(b, k // kc, kc, ph, h), 1, 0
+                ),
+                jnp.moveaxis(
+                    colw_b.reshape(b, k // kc, kc, pw, w), 1, 0
+                ),
+            ),
+        )  # [nc, B, kc, Pi, Pj, C]
+        out = jnp.moveaxis(out, 0, 1).reshape(b, k, ph, pw, c)
+        return out.reshape(r, ph, pw, c)
+    return out.reshape(r, ph, pw, c)
+
+
 def multilevel_roi_align(features, boxes, batch_idx, pcfg,
-                         compute_dtype=jnp.bfloat16, backend="gather"):
+                         compute_dtype=jnp.bfloat16, backend="gather",
+                         rois_per_image=None):
     """Pool each ROI from its assigned pyramid level.
 
     backend: "gather" (exact, XLA row-gather; autodiff supplies backward),
@@ -119,6 +229,14 @@ def multilevel_roi_align(features, boxes, batch_idx, pcfg,
         h0, w0 = features[0].shape[1], features[0].shape[2]
         bound = max(-(-h0 // ph), -(-w0 // pw), 1)
         s = min(s, bound)
+        if (
+            rois_per_image
+            and boxes.shape[0] == features[0].shape[0] * rois_per_image
+            and os.environ.get("MASKRCNN_C4_POOLER", "matmul") == "matmul"
+        ):
+            return _c4_matmul_pool(
+                features[0], boxes, pcfg, rois_per_image, s, compute_dtype
+            )
     b = features[0].shape[0]
     c = features[0].shape[-1]
     r = boxes.shape[0]

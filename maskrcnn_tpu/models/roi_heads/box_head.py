@@ -294,13 +294,16 @@ def init_box_head(key, cfg, in_channels):
 
 def run_box_head(
     params, features, boxes, batch_idx, pcfg, cfg, compute_dtype=jnp.bfloat16,
-    pooler_backend="gather",
+    pooler_backend="gather", rois_per_image=None,
 ):
     """Pool + extract + predict for a flat ROI batch.
     boxes [R, 4], batch_idx [R]. Returns (class_logits [R, C],
-    box_regression [R, 4C], roi_features [R, ...])."""
+    box_regression [R, 4C], roi_features [R, ...]). rois_per_image: static
+    per-image block size when boxes are image-contiguous (enables the C4
+    matmul pooler)."""
     x = multilevel_roi_align(features, boxes, batch_idx, pcfg, compute_dtype,
-                             backend=pooler_backend)
+                             backend=pooler_backend,
+                             rois_per_image=rois_per_image)
     feats = apply_box_feature_extractor(
         params["feature_extractor"], x, cfg, compute_dtype
     )

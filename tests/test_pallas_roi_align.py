@@ -79,6 +79,80 @@ def test_gather_pooler_roi_chunking_identical():
     )
 
 
+def test_c4_matmul_pooler_matches_gather():
+    """The C4 dense-matmul pooler (single-level adaptive, per-image ROI
+    blocks -> two batched MXU contractions) must match the exact gather
+    path. Covers in-map ROIs, edge-hugging ROIs (boundary snap), ROIs
+    larger than the feature map (clamping), and the ROI-chunked variant;
+    also grad parity through both formulations."""
+    from maskrcnn_tpu.models import poolers as P
+
+    c = 128
+    rs = np.random.RandomState(3)
+    feat = jnp.asarray(rs.randn(2, 16, 20, c), jnp.float32)
+    pcfg = PoolerConfig(7, (0.0625,), 0)  # stride-16 adaptive (C4 contract)
+    k = 8
+    ctr = rs.uniform(10, 300, (2 * k, 2))
+    wh = rs.uniform(8, 400, (2 * k, 2))
+    rois_np = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1)
+    rois_np[0] = [0.0, 0.0, 319.0, 255.0]   # whole image
+    rois_np[1] = [300.0, 240.0, 340.0, 270.0]  # straddles the right/bottom edge
+    rois = jnp.asarray(rois_np, jnp.float32)
+    bidx = jnp.asarray(np.repeat(np.arange(2), k), jnp.int32)
+
+    ref = multilevel_roi_align([feat], rois, bidx, pcfg, compute_dtype=jnp.float32)
+    got = multilevel_roi_align(
+        [feat], rois, bidx, pcfg, compute_dtype=jnp.float32, rois_per_image=k
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+    # grads agree between the two formulations
+    cot = jnp.asarray(rs.randn(*ref.shape), jnp.float32)
+    g_ref = jax.grad(
+        lambda f: (multilevel_roi_align(
+            [f], rois, bidx, pcfg, compute_dtype=jnp.float32
+        ) * cot).sum()
+    )(feat)
+    g_got = jax.grad(
+        lambda f: (multilevel_roi_align(
+            [f], rois, bidx, pcfg, compute_dtype=jnp.float32, rois_per_image=k
+        ) * cot).sum()
+    )(feat)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_ref), atol=2e-3, rtol=1e-3
+    )
+
+    # forced ROI chunking (kc < k): the lax.map+checkpoint branch must
+    # match the one-shot result
+    old = P._CHUNK_THRESHOLD_BYTES
+    P._CHUNK_THRESHOLD_BYTES = 2 * 2 * 7 * 20 * 128 * 4 * 2  # kc = 2
+    try:
+        chunked = multilevel_roi_align(
+            [feat], rois, bidx, pcfg, compute_dtype=jnp.float32,
+            rois_per_image=k,
+        )
+    finally:
+        P._CHUNK_THRESHOLD_BYTES = old
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(got), atol=1e-5, rtol=1e-5
+    )
+
+    # per-image block consistency: pooling the first half of each image's
+    # block alone must reproduce the corresponding rows
+    one = np.asarray(got)
+    half = multilevel_roi_align(
+        [feat], rois.reshape(2, k, 4)[:, : k // 2].reshape(-1, 4),
+        jnp.asarray(np.repeat(np.arange(2), k // 2), jnp.int32),
+        pcfg, compute_dtype=jnp.float32, rois_per_image=k // 2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(half),
+        one.reshape(2, k, 7, 7, c)[:, : k // 2].reshape(-1, 7, 7, c),
+        atol=2e-4, rtol=1e-4,
+    )
+
+
 def test_pallas_pooler_matches_gather_interpret():
     feats, pcfg, rois, bidx = _setup()
     ref = multilevel_roi_align(feats, rois, bidx, pcfg, compute_dtype=jnp.float32)

@@ -36,7 +36,10 @@ CONFIGS = [
     ("mask_rcnn_R_50_C4", "configs/e2e_mask_rcnn_R_50_C4_1x.yaml", None),
     # deformable-conv family (reference configs/dcn/): proves DCN *trains*
     # at speed on TPU, not just applies.
-    ("mask_rcnn_dconv_R_50_FPN", "configs/dcn/e2e_mask_rcnn_dconv_R_50_FPN_1x.yaml", None),
+    # REMAT on: the deform-conv offset-gather activations ([B, H, W, 9C]
+    # at P2) push batch-8 past HBM without per-block recompute
+    ("mask_rcnn_dconv_R_50_FPN", "configs/dcn/e2e_mask_rcnn_dconv_R_50_FPN_1x.yaml", None,
+     ("TPU.REMAT_BACKBONE", "'all'")),
 ]
 
 
@@ -72,7 +75,7 @@ def make_batch(c, b, rs):
     return jax.tree.map(jax.numpy.asarray, batch)
 
 
-def bench_one(name, yaml, b):
+def bench_one(name, yaml, b, opts=()):
     from maskrcnn_tpu.config import cfg
     from maskrcnn_tpu.engine.train_step import make_train_step
     from maskrcnn_tpu.models import build_detection_model
@@ -80,6 +83,8 @@ def bench_one(name, yaml, b):
 
     c = cfg.clone()
     c.merge_from_file(os.path.join(os.path.dirname(__file__), "..", yaml))
+    if opts:
+        c.merge_from_list(list(opts))
     c.MODEL.WEIGHT = ""
     c.freeze()
     model = build_detection_model(c)
@@ -129,10 +134,11 @@ def main():
         for a in sys.argv[1:] if a.startswith("--only=")
         for part in a.split("=", 1)[1].split(",")
     ]
-    for name, yaml, b_over in CONFIGS:
+    for row in CONFIGS:
+        name, yaml, b_over = row[:3]
         if only and not any(s in name for s in only):
             continue
-        bench_one(name, yaml, b_over or b)
+        bench_one(name, yaml, b_over or b, opts=row[3] if len(row) > 3 else ())
 
 
 if __name__ == "__main__":
