@@ -145,6 +145,14 @@ def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
         lanes=lanes,
     )
     keep0 = valid.astype(jnp.int32)
+    # optimization_barrier: when the boxes feeding this kernel are ALSO
+    # consumed by a later gather in the same program (the proposal top-k
+    # after NMS), XLA's fusion/layout choices around the custom call
+    # produce a program that hard-faults the TPU at runtime (worker crash;
+    # bisected to exactly that gather — the kernel runs clean standalone on
+    # identical data). Pinning the operands isolates the kernel's layout
+    # from downstream consumers.
+    boxes_t, keep0 = jax.lax.optimization_barrier((boxes_t, keep0))
     keep = pl.pallas_call(
         kernel,
         grid=(g_pad // lanes, nb),
@@ -172,12 +180,19 @@ def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
 def nms_mask_pallas(boxes, scores, valid, iou_threshold, interpret=False):
     """Drop-in for ops.nms.batched_nms_mask: boxes [G, N, 4], scores [G, N],
     valid [G, N] -> keep [G, N] (original order)."""
+    # decouple this kernel's input pipeline from other consumers of the
+    # same arrays (see the barrier note in nms_sorted_pallas): without it,
+    # programs where `boxes` also feeds a post-NMS gather fault the TPU
+    boxes, scores, valid = jax.lax.optimization_barrier(
+        (boxes, scores, valid)
+    )
     neg = jnp.asarray(-1e10, scores.dtype)
     masked = jnp.where(valid, scores, neg)
     order = jnp.argsort(-masked, axis=1, stable=True)
     sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     svalid = jnp.take_along_axis(valid, order, axis=1)
     keep_sorted = nms_sorted_pallas(sboxes, svalid, iou_threshold, interpret)
+    keep_sorted = jax.lax.optimization_barrier(keep_sorted)
     g, n = scores.shape
     keep = jnp.zeros((g, n), bool)
     keep = jax.vmap(lambda k, o, ks: k.at[o].set(ks))(keep, order, keep_sorted)
