@@ -1,8 +1,18 @@
 #!/usr/bin/env python
-"""Inference latency benchmark: Mask R-CNN R-50-FPN, batch 1, 800x1344.
+"""Inference latency benchmark for any zoo config.
 
-Reference single-V100 number: 0.12966 s/im (+0.034 mask paste on host)
-(MODEL_ZOO.md:26). Run: python tools/bench_inference.py [BATCH]
+Default: Mask R-CNN R-50-FPN, batch 1, 800x1344 — reference single-V100
+number 0.12966 s/im (+0.034 mask paste on host) (MODEL_ZOO.md:26).
+
+Any other family via --config / --size / --baseline, e.g. the FBNet rows
+the reference publishes at 600px b=1 (reference MODEL_ZOO.md:53-57):
+
+  python tools/bench_inference.py 1 \\
+      --config=configs/e2e_faster_rcnn_fbnet_600.yaml \\
+      --size=600x1000 --baseline=0.0297
+
+Run: python tools/bench_inference.py [BATCH] [--config=...] [--size=HxW]
+     [--baseline=S_PER_IM]
 """
 
 import os
@@ -20,24 +30,59 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_S_PER_IM = 0.12966
+BASELINE_S_PER_IM = 0.12966  # flagship Mask R-CNN R-50-FPN, V100 b=1
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
 
 
 def main():
-    from __graft_entry__ import _flagship_cfg
     from maskrcnn_tpu.models import build_detection_model
 
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    c = _flagship_cfg(tiny=False)
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    b = int(pos[0]) if pos else 1
+    config = None
+    size = None
+    baseline = None
+    for a in sys.argv[1:]:
+        if a.startswith("--config="):
+            config = a.split("=", 1)[1]
+        elif a.startswith("--size="):
+            size = tuple(int(v) for v in a.split("=", 1)[1].split("x"))
+        elif a.startswith("--baseline="):
+            baseline = float(a.split("=", 1)[1])
+
+    if config is None:
+        from __graft_entry__ import _flagship_cfg
+
+        c = _flagship_cfg(tiny=False)
+        baseline = baseline or BASELINE_S_PER_IM
+        name = "mask_rcnn_R_50_FPN"
+    else:
+        from maskrcnn_tpu.config import cfg
+
+        c = cfg.clone()
+        c.merge_from_file(
+            os.path.join(os.path.dirname(__file__), "..", config)
+        )
+        c.MODEL.WEIGHT = ""
+        name = os.path.splitext(os.path.basename(config))[0]
+    if size is None:
+        # the padded shape for the config's own test resolution: min size
+        # on the short edge, max size on the long edge, rounded up to the
+        # conv-stride multiple the collator uses (data/collate.py)
+        size = (c.INPUT.MIN_SIZE_TEST, c.INPUT.MAX_SIZE_TEST)
+    h, w = _round_up(size[0], 64), _round_up(size[1], 64)
     c.freeze()
     model = build_detection_model(c)
     params = model.init(jax.random.PRNGKey(0))
 
-    h, w = 800, 1344
     rs = np.random.RandomState(0)
     batch = dict(
         images=jax.numpy.asarray(rs.randn(b, h, w, 3), jax.numpy.float32),
-        image_sizes=jax.numpy.asarray([[800, 1333]] * b, jax.numpy.int32),
+        image_sizes=jax.numpy.asarray([[size[0], size[1]]] * b,
+                                      jax.numpy.int32),
     )
     infer = jax.jit(model.infer_forward)
     det = infer(params, batch)
@@ -57,11 +102,11 @@ def main():
         np.asarray(det["scores"])
     dt = (time.perf_counter() - t0) / iters
     s_per_im = dt / b
+    vs = "  speedup vs V100: {:.2f}x".format(baseline / s_per_im) \
+        if baseline else ""
     print(
-        "end-to-end (host numpy in/out): batch={} {:.2f} ms/step  {:.4f} s/im"
-        "  speedup vs V100: {:.2f}x".format(
-            b, dt * 1000, s_per_im, BASELINE_S_PER_IM / s_per_im
-        )
+        "{}: end-to-end (host numpy in/out): batch={} {}x{} {:.2f} ms/step"
+        "  {:.4f} s/im{}".format(name, b, h, w, dt * 1000, s_per_im, vs)
     )
 
     # device-resident inputs: the reference's 0.1297 s/im excludes data
@@ -80,7 +125,7 @@ def main():
         det = infer(params, dict(images=imgs, image_sizes=image_sizes))
         return det["scores"].astype(jnp.float32).sum() * 1e-12
 
-    sizes = jax.device_put(np.asarray([[800, 1333]] * b, np.int32))
+    sizes = jax.device_put(np.asarray([[size[0], size[1]]] * b, np.int32))
     s = chained_step(jnp.float32(0.0), dev_input, sizes)
     float(s)  # compile + sync
     s = jnp.float32(0.0)
@@ -90,11 +135,11 @@ def main():
     float(s)
     dt = (time.perf_counter() - t0) / iters
     s_per_im = dt / b
+    vs = "  speedup vs V100: {:.2f}x".format(baseline / s_per_im) \
+        if baseline else ""
     print(
-        "device-resident model inference: batch={} {:.2f} ms/step  {:.4f} s/im"
-        "  speedup vs V100: {:.2f}x".format(
-            b, dt * 1000, s_per_im, BASELINE_S_PER_IM / s_per_im
-        )
+        "{}: device-resident model inference: batch={} {:.2f} ms/step"
+        "  {:.4f} s/im{}".format(name, b, dt * 1000, s_per_im, vs)
     )
 
 
