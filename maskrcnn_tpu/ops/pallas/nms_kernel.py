@@ -122,7 +122,12 @@ def nms_sorted_pallas(boxes, valid, iou_threshold, interpret=False):
     # total serial steps. The sweep chunk shrinks with lane width to hold
     # the [lanes, BLOCK, chunk] IoU tile budget constant.
     lanes = min(MAX_LANES, -(-g // LANES) * LANES)
-    chunk = min(max(MAX_SWEEP_CHUNK * LANES // lanes, BLOCK), n_pad)
+    # chunk must stay a BLOCK (=128-lane) multiple: Mosaic requires dynamic
+    # lane slices to be provably 128-aligned, and off = ci*chunk only is
+    # when chunk itself is (lanes=24 used to yield chunk=170 -> hardware
+    # compile failure "index in dimension 2 is a multiple of 128")
+    chunk = max(MAX_SWEEP_CHUNK * LANES // lanes, BLOCK) // BLOCK * BLOCK
+    chunk = min(chunk, n_pad)
     n_pad = -(-n_pad // chunk) * chunk  # chunk must divide the padded width
     g_pad = -(-g // lanes) * lanes
     if n_pad != n or g_pad != g:

@@ -48,6 +48,36 @@ def test_wrapper_with_padding_and_order_interpret():
         assert not keep[lane][170:].any()
 
 
+def test_lane_group_24_chunk_alignment_interpret():
+    """g=24 selects a 24-wide lane group, whose naive sweep chunk
+    (512*8//24 = 170) is not a 128 multiple — Mosaic rejects such dynamic
+    lane slices on hardware. Pin that the chunk rounding keeps correctness
+    (regression for the keypoint-eval compile failure)."""
+    from maskrcnn_tpu.ops.pallas.nms_kernel import BLOCK, LANES, MAX_SWEEP_CHUNK
+
+    assert (max(MAX_SWEEP_CHUNK * LANES // 24, BLOCK) // BLOCK * BLOCK) % BLOCK == 0
+    rng = np.random.RandomState(7)
+    g, n = 24, 1280
+    ctr = rng.uniform(0, 900, (g, n, 2))
+    wh = rng.uniform(5, 200, (g, n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(size=(g, n)).astype(np.float32)
+    valid = rng.rand(g, n) > 0.1
+    keep = np.asarray(
+        nms_mask_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+            interpret=True,
+        )
+    )
+    for lane in range(g):
+        v = valid[lane]
+        exp = np.zeros(n, bool)
+        idx = np.nonzero(v)[0]
+        kept = nms_numpy(boxes[lane][v], scores[lane][v], 0.5)
+        exp[idx[kept]] = True
+        np.testing.assert_array_equal(keep[lane], exp)
+
+
 def test_many_lanes_multirow_interpret():
     """g=40 spans multiple lane-group rows at the widened MAX_LANES, with n
     crossing BLOCK and sweep-chunk boundaries — every lane must still match
